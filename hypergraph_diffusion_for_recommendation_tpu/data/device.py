@@ -1,0 +1,239 @@
+"""Device-resident graph bundles (pytrees) consumed by every model.
+
+This is the host→device boundary: one-time conversion at build time,
+after which training/eval never touch host data (the reference crosses
+this boundary every batch via its Python samplers and per-user
+`.cpu().numpy()` eval loop — survey sections 2.4, 3.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.types import SparseCOO, from_edges, pad_to_multiple, padded_rows_from_lists
+from ..ops.dropout import drop_edges
+from .dataset import InteractionData
+from .knowledge import KnowledgeData
+
+
+@struct.dataclass
+class AdjPair:
+    """A sparse matrix with its transpose structure and the permutation
+    linking their value arrays — so a dropout mask applied to `fwd`
+    propagates exactly to `bwd` (needed for A @ (A.T @ X) on a dropped A,
+    mirroring reference HGCNConv on SpAdjDropEdge output, KHGRec.py:288)."""
+
+    fwd: SparseCOO
+    bwd: SparseCOO
+    t_perm: jnp.ndarray  # bwd.vals == fwd.vals[t_perm]
+
+    def dropped(self, rng: jax.Array, keep_rate: float) -> "AdjPair":
+        if keep_rate >= 1.0:
+            return self
+        fwd = drop_edges(rng, self.fwd, keep_rate)
+        bwd = self.bwd.replace(vals=fwd.vals[self.t_perm])
+        return self.replace(fwd=fwd, bwd=bwd)
+
+
+def make_adj_pair(rows, cols, vals, shape, pad_multiple: int = 8) -> AdjPair:
+    """Build fwd + transpose structure + linking permutation (host-side)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.float32)
+    nnz = rows.shape[0]
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+
+    nnz_pad = max(pad_to_multiple(max(nnz, 1), pad_multiple), pad_multiple)
+    pad = nnz_pad - nnz
+
+    f_rows = np.concatenate([rows, np.full(pad, shape[0], np.int64)]).astype(np.int32)
+    f_cols = np.concatenate([cols, np.zeros(pad, np.int64)]).astype(np.int32)
+    f_vals = np.concatenate([vals, np.zeros(pad, np.float32)])
+
+    t_order = np.lexsort((rows, cols))  # transpose: sort by (col, row)
+    b_rows = np.concatenate([cols[t_order], np.full(pad, shape[1], np.int64)]).astype(np.int32)
+    b_cols = np.concatenate([rows[t_order], np.zeros(pad, np.int64)]).astype(np.int32)
+    t_perm = np.concatenate([t_order, np.arange(nnz, nnz_pad)]).astype(np.int32)
+    b_vals = f_vals[t_perm]
+
+    fwd = SparseCOO(
+        rows=jnp.asarray(f_rows), cols=jnp.asarray(f_cols), vals=jnp.asarray(f_vals),
+        nrows=int(shape[0]), ncols=int(shape[1]), nnz=int(nnz),
+    )
+    bwd = SparseCOO(
+        rows=jnp.asarray(b_rows), cols=jnp.asarray(b_cols), vals=jnp.asarray(b_vals),
+        nrows=int(shape[1]), ncols=int(shape[0]), nnz=int(nnz),
+    )
+    return AdjPair(fwd=fwd, bwd=bwd, t_perm=jnp.asarray(t_perm))
+
+
+def adj_pair_from_scipy(mat, pad_multiple: int = 8) -> AdjPair:
+    coo = mat.tocoo()
+    return make_adj_pair(coo.row, coo.col, coo.data, mat.shape, pad_multiple)
+
+
+@struct.dataclass
+class EvalData:
+    """Padded test-set arrays for fully on-device evaluation."""
+
+    test_users: jnp.ndarray  # [n_pad] dense user ids (pad 0)
+    user_valid: jnp.ndarray  # [n_pad] bool
+    test_pos_pad: jnp.ndarray  # [n_pad, Tmax] dense item ids; -1 pad, -2 unseen-in-train
+    test_counts: jnp.ndarray  # [n_pad] int32, includes unseen items
+    n_test_users: int = struct.field(pytree_node=False)
+    total_test_interactions: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class CFDeviceData:
+    """Everything a CF model needs on device."""
+
+    adj: AdjPair  # normalised (U+I)^2 bipartite
+    int_norm: AdjPair  # row-normalised U x I
+    inv_int_norm: AdjPair  # row-normalised I x U
+    b_hyper: AdjPair  # D_v^-1/2 H D_e^-1/2 (U x I): Theta_uu = B B^T, Theta_ii = B^T B
+    raw_int: AdjPair  # unnormalised U x I incidence H
+    edge_u: jnp.ndarray  # [n_train] int32
+    edge_i: jnp.ndarray
+    rated_pad: jnp.ndarray  # [U, max_deg] dense item ids, pad -1
+    eval_data: EvalData
+    n_users: int = struct.field(pytree_node=False)
+    n_items: int = struct.field(pytree_node=False)
+    n_train: int = struct.field(pytree_node=False)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_users + self.n_items
+
+
+@struct.dataclass
+class KGDeviceData:
+    """Knowledge-graph arrays on device (KGAT / KHGRec family)."""
+
+    kg_adj: AdjPair  # normalised E x E kg adjacency
+    # attention edge list (the kg_train triples), sorted by head
+    att_h: jnp.ndarray  # [n_kg_pad] int32, pad = n_entities
+    att_r: jnp.ndarray  # [n_kg_pad]
+    att_t: jnp.ndarray  # [n_kg_pad], pad = 0
+    att_valid: jnp.ndarray  # [n_kg_pad] bool
+    att_t_perm: jnp.ndarray  # transpose permutation over the SAME edge list
+    att_h_t: jnp.ndarray  # transpose structure: rows (=tails) sorted, pad = n_entities
+    att_t_t: jnp.ndarray  # transpose structure cols (=heads)
+    head_tails_pad: jnp.ndarray  # [E, max_head_deg] true tails per head, pad -1
+    user_idx: jnp.ndarray  # [n_users] entity ids of CF users (dense order)
+    item_idx: jnp.ndarray  # [n_items] entity ids of CF items
+    n_entities: int = struct.field(pytree_node=False)
+    n_relations: int = struct.field(pytree_node=False)
+    n_kg_train: int = struct.field(pytree_node=False)
+
+
+def build_cf_device_data(
+    inter: InteractionData,
+    pad_multiple: int = 8,
+    eval_user_multiple: int = 256,
+) -> CFDeviceData:
+    import scipy.sparse as sp
+
+    adj = adj_pair_from_scipy(inter.norm_adj, pad_multiple)
+    int_norm = adj_pair_from_scipy(inter.norm_interaction_mat, pad_multiple)
+    inv_int_norm = adj_pair_from_scipy(inter.norm_inv_interaction_mat, pad_multiple)
+    raw_int = adj_pair_from_scipy(inter.interaction_mat, pad_multiple)
+
+    # B = D_v^-1/2 H D_e^-1/2 so that Theta_uu = B B^T is the hypergraph
+    # normalisation D_v^-1/2 H D_e^-1 H^T D_v^-1/2 (data/graph.py:27-42)
+    # applied without ever materialising the V x V product.
+    h_mat = inter.interaction_mat
+    dv = np.asarray(h_mat.sum(1)).flatten()
+    de = np.asarray(h_mat.sum(0)).flatten()
+    with np.errstate(divide="ignore"):
+        dv_is = np.power(dv, -0.5)
+        de_is = np.power(de, -0.5)
+    dv_is[np.isinf(dv_is)] = 0.0
+    de_is[np.isinf(de_is)] = 0.0
+    b = (sp.diags(dv_is) @ h_mat @ sp.diags(de_is)).tocsr()
+    b_hyper = adj_pair_from_scipy(b, pad_multiple)
+
+    rated = padded_rows_from_lists(inter.rated_lists(), fill=-1, pad_multiple=pad_multiple)
+
+    test_users, test_groups, test_counts = inter.test_lists()
+    n_tu = len(test_users)
+    n_pad = max(pad_to_multiple(max(n_tu, 1), eval_user_multiple), eval_user_multiple)
+    tu = np.zeros(n_pad, np.int32)
+    tu[:n_tu] = test_users
+    valid = np.zeros(n_pad, bool)
+    valid[:n_tu] = True
+    tmax = max((len(g) for g in test_groups), default=1)
+    tmax = max(pad_to_multiple(tmax, pad_multiple), pad_multiple)
+    pos = np.full((n_pad, tmax), -1, np.int32)
+    for k, g in enumerate(test_groups):
+        pos[k, : len(g)] = g[:tmax]
+    counts = np.zeros(n_pad, np.int32)
+    counts[:n_tu] = test_counts
+
+    eval_data = EvalData(
+        test_users=jnp.asarray(tu),
+        user_valid=jnp.asarray(valid),
+        test_pos_pad=jnp.asarray(pos),
+        test_counts=jnp.asarray(counts),
+        n_test_users=int(n_tu),
+        total_test_interactions=int(test_counts.sum()),
+    )
+
+    return CFDeviceData(
+        adj=adj,
+        int_norm=int_norm,
+        inv_int_norm=inv_int_norm,
+        b_hyper=b_hyper,
+        raw_int=raw_int,
+        edge_u=jnp.asarray(inter.train_u),
+        edge_i=jnp.asarray(inter.train_i),
+        rated_pad=jnp.asarray(rated),
+        eval_data=eval_data,
+        n_users=inter.n_users,
+        n_items=inter.n_items,
+        n_train=inter.n_cf_train,
+    )
+
+
+def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceData:
+    kg_adj = adj_pair_from_scipy(kg.norm_kg_adj, pad_multiple)
+
+    n_kg = kg.h.shape[0]
+    order = np.lexsort((kg.t, kg.h))
+    h_s = kg.h[order]
+    r_s = kg.r[order]
+    t_s = kg.t[order]
+    nnz_pad = max(pad_to_multiple(n_kg, pad_multiple), pad_multiple)
+    pad = nnz_pad - n_kg
+    h_p = np.concatenate([h_s, np.full(pad, kg.n_entities, np.int32)])
+    r_p = np.concatenate([r_s, np.zeros(pad, np.int32)])
+    t_p = np.concatenate([t_s, np.zeros(pad, np.int32)])
+    valid = np.concatenate([np.ones(n_kg, bool), np.zeros(pad, bool)])
+
+    t_order = np.lexsort((h_s, t_s))
+    att_h_t = np.concatenate([t_s[t_order], np.full(pad, kg.n_entities, np.int32)])
+    att_t_t = np.concatenate([h_s[t_order], np.zeros(pad, np.int32)])
+    t_perm = np.concatenate([t_order, np.arange(n_kg, nnz_pad)]).astype(np.int32)
+
+    head_tails = padded_rows_from_lists(kg.head_tail_lists(), fill=-1, pad_multiple=pad_multiple)
+
+    return KGDeviceData(
+        kg_adj=kg_adj,
+        att_h=jnp.asarray(h_p.astype(np.int32)),
+        att_r=jnp.asarray(r_p.astype(np.int32)),
+        att_t=jnp.asarray(t_p.astype(np.int32)),
+        att_valid=jnp.asarray(valid),
+        att_t_perm=jnp.asarray(t_perm),
+        att_h_t=jnp.asarray(att_h_t.astype(np.int32)),
+        att_t_t=jnp.asarray(att_t_t.astype(np.int32)),
+        head_tails_pad=jnp.asarray(head_tails),
+        user_idx=jnp.asarray(kg.user_entity_ids.astype(np.int32)),
+        item_idx=jnp.asarray(kg.item_entity_ids.astype(np.int32)),
+        n_entities=kg.n_entities,
+        n_relations=kg.n_relations,
+        n_kg_train=kg.n_kg_train,
+    )

@@ -1,0 +1,113 @@
+"""Synthetic dataset generator (LastFM-scale by default).
+
+The reference repo gitignores its datasets (`dataset/` is absent), so
+tests and benchmarks run on synthetic data with planted structure:
+users carry a mixture over latent clusters, items a cluster + Zipf
+popularity, and interactions are drawn ∝ popularity x cluster affinity.
+A recommender that learns the structure beats the popularity baseline by
+a wide margin, which is what the regression tests assert.
+
+Raw-id convention mirrors the processed LastFM KG data the reference
+trains on (survey 2.3: CF pairs are appended to the KG with raw ids as
+entity ids, data/knowledge.py:59-67): item entity ids 0..I-1, attribute
+entities I..I+A-1, user entity ids I+A..I+A+U-1 — disjoint ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def generate_interactions(
+    n_users: int = 1890,
+    n_items: int = 4000,
+    n_clusters: int = 16,
+    mean_degree: float = 45.0,
+    seed: int = 7,
+    user_id_offset: int | None = None,
+    affinity: float = 8.0,
+) -> np.ndarray:
+    """Return raw (user, item) pairs with planted cluster structure."""
+    rng = np.random.default_rng(seed)
+    item_cluster = rng.integers(0, n_clusters, n_items)
+    item_pop = rng.zipf(1.5, n_items).astype(np.float64)
+    item_pop = np.clip(item_pop, 1, 50)
+
+    user_main = rng.integers(0, n_clusters, n_users)
+    user_second = rng.integers(0, n_clusters, n_users)
+
+    degrees = np.clip(rng.lognormal(np.log(mean_degree), 0.6, n_users), 5, n_items // 4).astype(int)
+
+    if user_id_offset is None:
+        user_id_offset = n_items
+
+    rows = []
+    base = item_pop.copy()
+    for u in range(n_users):
+        w = base * (
+            1.0
+            + affinity * (item_cluster == user_main[u])
+            + 0.5 * affinity * (item_cluster == user_second[u])
+        )
+        p = w / w.sum()
+        items = rng.choice(n_items, size=degrees[u], replace=False, p=p)
+        rows.append(np.stack([np.full(degrees[u], user_id_offset + u), items], axis=1))
+    pairs = np.concatenate(rows, axis=0)
+    return pairs[rng.permutation(len(pairs))]
+
+
+def generate_kg(
+    n_items: int = 4000,
+    n_clusters: int = 16,
+    n_attrs_per_cluster: int = 8,
+    n_relations: int = 4,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Item->attribute triples; attributes encode (noisy) cluster identity.
+
+    Entity ids: items 0..I-1, attributes I..I+A-1. Relations 0..R-1 (the
+    knowledge builder shifts them by +2 to make room for the CF
+    relations, parity with data/knowledge.py:54).
+    """
+    rng = np.random.default_rng(seed)
+    item_cluster = np.random.default_rng(seed - 4).integers(0, n_clusters, n_items)
+    n_attrs = n_clusters * n_attrs_per_cluster
+    triples = []
+    for i in range(n_items):
+        k = rng.integers(1, 4)
+        for _ in range(k):
+            # mostly own-cluster attributes, some noise
+            c = item_cluster[i] if rng.random() < 0.8 else rng.integers(0, n_clusters)
+            a = n_items + c * n_attrs_per_cluster + rng.integers(0, n_attrs_per_cluster)
+            r = rng.integers(0, n_relations)
+            triples.append((i, r, a))
+    df = pd.DataFrame(triples, columns=["h", "r", "t"]).astype(np.int64)
+    return df.drop_duplicates(ignore_index=True)
+
+
+def synthetic_dataset(
+    n_users: int = 1890,
+    n_items: int = 4000,
+    n_clusters: int = 16,
+    mean_degree: float = 45.0,
+    seed: int = 7,
+    with_kg: bool = False,
+    train_frac: float = 0.75,
+):
+    """Full synthetic bundle: (train_pairs, test_pairs, kg_df | None).
+
+    User entity ids start after item+attribute entities so that KG and CF
+    id spaces compose exactly like the reference's processed datasets.
+    """
+    n_attrs = n_clusters * 8
+    offset = n_items + n_attrs if with_kg else n_items
+    pairs = generate_interactions(
+        n_users, n_items, n_clusters, mean_degree, seed, user_id_offset=offset
+    )
+    rng = np.random.default_rng(seed + 1)
+    perm = rng.permutation(len(pairs))
+    n_train = int(len(pairs) * train_frac)
+    train, test = pairs[perm[:n_train]], pairs[perm[n_train:]]
+    kg = generate_kg(n_items, n_clusters, seed=seed + 2) if with_kg else None
+    return train, test, kg

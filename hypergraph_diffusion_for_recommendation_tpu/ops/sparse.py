@@ -1,0 +1,106 @@
+"""Sparse matrix products on padded COO — the framework's hot kernels.
+
+TPU-native replacements for the reference's native-extension calls
+(survey section 2.9): `torch.sparse.mm` (cuSPARSE SpMM, used by
+`HGCNConv` everywhere, e.g. reference model/graph/KHGRec.py:455-464) and
+`torch_scatter.scatter` (the ED-HNN diffusion scatter,
+model/layers/layers2/EquivSetConv2.py:85-100).
+
+Formulation: with row-sorted COO (rows, cols, vals),
+    (A @ X)[r] = segment_sum(vals * X[cols], rows)
+which XLA lowers to a gather + sorted segment reduction — dense,
+static-shape, MXU/VPU friendly. Pad entries have val == 0 and
+row == nrows (dropped by scatter OOB semantics), so no masking is needed.
+
+A Pallas double-buffered implementation for large graphs lives in
+ops/pallas/spmm.py; `spmm` dispatches on backend + problem size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import SparseCOO
+
+
+def spmm(a: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ X for padded row-sorted COO A: [n, m] x [m, d] -> [n, d]."""
+    gathered = x[a.cols] * a.vals[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(
+        gathered,
+        a.rows,
+        num_segments=a.nrows,
+        indices_are_sorted=True,
+    )
+
+
+def spmm_t(a: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
+    """A.T @ X without materialising the transpose: [m, d] from [n, d].
+
+    Transposed COO is sorted by col, so the segment ids (a.cols) are NOT
+    sorted; segment_sum handles that (slower path, still one scatter-add).
+    Models that apply A.T repeatedly should carry a pre-transposed
+    SparseCOO instead (see GraphBundle.norm_adj_t).
+    """
+    gathered = x[jnp.clip(a.rows, 0, a.nrows - 1)] * a.vals[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(gathered, a.cols, num_segments=a.ncols)
+
+
+def two_hop(a: SparseCOO, a_t: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ (A.T @ X) — the `HGCNConv` hypergraph convolution primitive.
+
+    Mirrors reference HGCNConv.forward (model/graph/KHGRec.py:455-464):
+    two chained SpMMs with the pre-transposed adjacency.
+    """
+    return spmm(a, spmm(a_t, x))
+
+
+def sp_dense_left(x: jnp.ndarray, a: SparseCOO) -> jnp.ndarray:
+    """X @ A for dense X: [d, n] x [n, m] -> [d, m] via (A.T @ X.T).T."""
+    return spmm_t(a, x.T).T
+
+
+def scatter_mean(
+    values: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int, sorted_ids: bool = True
+) -> jnp.ndarray:
+    """Segment mean — the `torch_scatter.scatter(reduce='mean')` equivalent
+    used by the canonical ED-HNN operator (layers2/EquivSetConv2.py:89-93)."""
+    sums = jax.ops.segment_sum(
+        values, segment_ids, num_segments=num_segments, indices_are_sorted=sorted_ids
+    )
+    ones = jnp.ones((values.shape[0], 1), values.dtype)
+    counts = jax.ops.segment_sum(
+        ones, segment_ids, num_segments=num_segments, indices_are_sorted=sorted_ids
+    )
+    return sums / jnp.maximum(counts, 1.0)
+
+
+def scatter_sum(
+    values: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int, sorted_ids: bool = True
+) -> jnp.ndarray:
+    return jax.ops.segment_sum(
+        values, segment_ids, num_segments=num_segments, indices_are_sorted=sorted_ids
+    )
+
+
+def segment_softmax(
+    scores: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Numerically-stable softmax over segments (rows of a sparse matrix).
+
+    On-device replacement for the reference's CPU round-trip
+    `torch.sparse.softmax(A_in.cpu(), dim=1)` (KGAT.py:388, KHGRec.py:330).
+    `valid` masks padded entries out of both max and sum.
+    """
+    if valid is not None:
+        scores = jnp.where(valid, scores, -jnp.inf)
+    seg_max = jax.ops.segment_max(scores, segment_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = scores - seg_max[jnp.clip(segment_ids, 0, num_segments - 1)]
+    expd = jnp.exp(shifted)
+    if valid is not None:
+        expd = jnp.where(valid, expd, 0.0)
+    seg_sum = jax.ops.segment_sum(expd, segment_ids, num_segments=num_segments)
+    denom = seg_sum[jnp.clip(segment_ids, 0, num_segments - 1)]
+    return expd / jnp.maximum(denom, 1e-12)

@@ -1,0 +1,104 @@
+"""Metric parity tests: on-device ranking metrics vs an independent
+numpy implementation of the reference formulas (util/evaluation.py:8-97)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from hypergraph_diffusion_for_recommendation_tpu.data import (
+    build_cf_device_data,
+    build_interaction,
+)
+from hypergraph_diffusion_for_recommendation_tpu.eval import (
+    early_stopping,
+    metrics_to_host,
+    ranking_metrics,
+)
+
+
+def reference_metrics(origin, rec_list, n):
+    """Direct numpy transcription of the reference formulas:
+    origin: {user: set(test items)}, rec_list: {user: [item ids ranked]}."""
+    hits = {u: len(set(origin[u]) & set(rec_list[u][:n])) for u in origin}
+    total = sum(len(origin[u]) for u in origin)
+    hit_ratio = sum(hits.values()) / total
+    precision = sum(hits.values()) / (len(hits) * n)
+    recall = np.mean([hits[u] / len(origin[u]) for u in hits])
+    ndcg = 0.0
+    for u in origin:
+        dcg = sum(
+            1.0 / math.log2(pos + 2)
+            for pos, it in enumerate(rec_list[u][:n])
+            if it in origin[u]
+        )
+        idcg = sum(1.0 / math.log2(pos + 2) for pos in range(min(len(origin[u]), n)))
+        ndcg += dcg / idcg
+    ndcg /= len(origin)
+    return dict(hit_ratio=hit_ratio, precision=precision, recall=recall, ndcg=ndcg)
+
+
+def test_ranking_metrics_parity(tiny_dataset):
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter, eval_user_multiple=64)
+
+    rng = np.random.default_rng(5)
+    u_emb = rng.standard_normal((inter.n_users, 16)).astype(np.float32)
+    i_emb = rng.standard_normal((inter.n_items, 16)).astype(np.float32)
+
+    top_ns = (5, 10, 20)
+    got = metrics_to_host(
+        ranking_metrics(
+            jnp.asarray(u_emb), jnp.asarray(i_emb), dev.rated_pad, dev.eval_data, top_ns, block=64
+        ),
+        top_ns,
+    )
+
+    # independent reference computation on host
+    scores = u_emb @ i_emb.T
+    rated = inter.rated_lists()
+    test_users, groups, _ = inter.test_lists()
+    origin = {}
+    rec_list = {}
+    for u, g in zip(test_users, groups):
+        s = scores[u].copy()
+        s[rated[u]] = -1e9
+        order = np.argsort(-s, kind="stable")
+        rec_list[int(u)] = order[:40].tolist()
+        origin[int(u)] = set(int(x) for x in g)  # -2 entries never match: parity
+
+    for n in top_ns:
+        want = reference_metrics(origin, rec_list, n)
+        for name in ("hit_ratio", "precision", "recall", "ndcg"):
+            assert abs(got[n][name] - want[name]) < 2e-4, (n, name, got[n][name], want[name])
+
+
+def test_unseen_test_items_counted_in_denominators():
+    # user 0 trains on items 10,11; tests on item 12 (seen) and raw 999 (unseen)
+    train = np.array([[0, 10], [0, 11], [1, 10], [1, 12]])
+    test = np.array([[0, 12], [0, 999], [1, 11]])
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter, eval_user_multiple=8)
+    # craft embeddings so user 0 ranks item 12 first among unrated
+    u_emb = np.zeros((2, 3), np.float32)
+    i_emb = np.zeros((3, 3), np.float32)
+    u_emb[0] = [1, 0, 0]
+    u_emb[1] = [0, 1, 0]
+    i_emb[inter.item[12]] = [1, 1, 0]
+    i_emb[inter.item[11]] = [0.5, 0.5, 0]
+    got = metrics_to_host(
+        ranking_metrics(jnp.asarray(u_emb), jnp.asarray(i_emb), dev.rated_pad, dev.eval_data, (1,), block=8),
+        (1,),
+    )
+    # user0: hits=1 of |test|=2 -> recall 0.5; user1: item 11 top -> hits=1 of 1
+    assert abs(got[1]["recall"] - 0.75) < 1e-5
+    # hit_ratio = (1+1)/3
+    assert abs(got[1]["hit_ratio"] - 2 / 3) < 1e-4
+    # ndcg user0: dcg=1, idcg=min(2,1)->1 ; user1: 1 -> mean 1
+    assert abs(got[1]["ndcg"] - 1.0) < 1e-5
+
+
+def test_early_stopping_parity():
+    assert early_stopping([0.1, 0.2, 0.15], 2) == (0.2, False)
+    assert early_stopping([0.1, 0.2, 0.15, 0.14], 2) == (0.2, True)

@@ -1,0 +1,62 @@
+"""On-device sampler tests."""
+
+import numpy as np
+import jax
+
+from hypergraph_diffusion_for_recommendation_tpu.data import (
+    build_cf_device_data,
+    build_interaction,
+)
+from hypergraph_diffusion_for_recommendation_tpu.ops.sampling import (
+    epoch_pairwise_batches,
+    is_rated,
+    sample_negatives,
+)
+
+
+def test_negatives_avoid_history(tiny_dataset):
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter)
+    rng = jax.random.PRNGKey(0)
+    users = dev.edge_u[:512]
+    negs = sample_negatives(rng, users, dev.rated_pad, inter.n_items, rounds=8)
+    bad = np.asarray(is_rated(dev.rated_pad, users, negs))
+    assert bad.sum() == 0
+    negs_np = np.asarray(negs)
+    assert negs_np.min() >= 0 and negs_np.max() < inter.n_items
+
+
+def test_epoch_batches_cover_all_edges(tiny_dataset):
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter)
+    B = 256
+    users, pos, neg = epoch_pairwise_batches(
+        jax.random.PRNGKey(1), dev.edge_u, dev.edge_i, dev.rated_pad, inter.n_items, B
+    )
+    n = inter.n_cf_train
+    n_batches = -(-n // B)
+    assert users.shape == (n_batches, B) == pos.shape == neg.shape
+    # every true edge appears at least once (wrap-fill duplicates allowed)
+    seen = set(zip(np.asarray(users).ravel().tolist(), np.asarray(pos).ravel().tolist()))
+    want = set(zip(np.asarray(dev.edge_u).tolist(), np.asarray(dev.edge_i).tolist()))
+    assert want <= seen
+    # negatives never in history
+    bad = np.asarray(
+        is_rated(dev.rated_pad, users.reshape(-1), neg.reshape(-1))
+    )
+    assert bad.mean() < 1e-3
+
+
+def test_epoch_batches_shuffle_differs_by_seed(tiny_dataset):
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter)
+    u1, _, _ = epoch_pairwise_batches(
+        jax.random.PRNGKey(1), dev.edge_u, dev.edge_i, dev.rated_pad, inter.n_items, 128
+    )
+    u2, _, _ = epoch_pairwise_batches(
+        jax.random.PRNGKey(2), dev.edge_u, dev.edge_i, dev.rated_pad, inter.n_items, 128
+    )
+    assert not np.array_equal(np.asarray(u1), np.asarray(u2))
