@@ -1,0 +1,7 @@
+from .base import MODEL_REGISTRY, ModelBundle, build_model, register_model
+
+# import model modules for registration side-effects
+from . import mf  # noqa: F401
+from . import lightgcn  # noqa: F401
+
+__all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]

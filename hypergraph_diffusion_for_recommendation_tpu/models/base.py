@@ -1,0 +1,68 @@
+"""Model bundle protocol + registry.
+
+The reference instantiates models by `exec`/`eval` on the model name
+(SELFRec.py:37-42 — survey 7.4); here a plain registry maps the name to
+a `build(cfg, cf, kg) -> ModelBundle` factory.
+
+A ModelBundle is a set of pure functions over pytrees; the trainer jits
+one epoch (sampling + scan of train steps) and the evaluator around
+them. `extras` carries per-epoch mutable state that is not optimised by
+the CF optimizer (e.g. the KG attention adjacency values of
+KGAT/KHGRec).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+
+from ..core.config import Config
+from ..data.device import CFDeviceData, KGDeviceData
+
+# batch pytree produced by the sampler; models consume what they need
+Batch = Any
+Params = Any
+Extras = Any
+
+
+@dataclass
+class ModelBundle:
+    name: str
+    cfg: Config
+    cf: CFDeviceData
+    kg: Optional[KGDeviceData]
+    uses_kg: bool
+    # rng -> (params, extras)
+    init: Callable[[jax.Array], tuple[Params, Extras]]
+    # (params, extras, batch, rng) -> (loss, aux_metrics_dict)
+    batch_loss: Callable[[Params, Extras, Batch, jax.Array], tuple[jax.Array, dict]]
+    # (params, extras) -> (user_emb, item_emb) — deterministic, full graph
+    encode_eval: Callable[[Params, Extras], tuple[jax.Array, jax.Array]]
+    # optional per-batch extras refresh BEFORE the gradient step
+    # (params, extras, batch, rng) -> extras   (KHGRec attention update,
+    # KHGRec.py:122)
+    update_extras: Optional[Callable] = None
+    # optional per-epoch extras refresh (KGAT epoch-level attention,
+    # KGAT.py:129-133): (params, extras, rng) -> extras
+    epoch_update_extras: Optional[Callable] = None
+
+
+MODEL_REGISTRY: dict[str, Callable[..., ModelBundle]] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def build_model(cfg: Config, cf: CFDeviceData, kg: Optional[KGDeviceData] = None) -> ModelBundle:
+    if cfg.model not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown model {cfg.model!r}. Registered: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[cfg.model](cfg, cf, kg)

@@ -1,0 +1,215 @@
+"""Generic trainer: one jit'd epoch (on-device sampling + lax.scan over
+train steps) + on-device eval + host-side schedule/early-stop logic.
+
+Replaces the reference's per-model copy-pasted `train()` loops
+(survey 2.5: every model file re-implements the same epoch loop). The
+template-method lifecycle (base/recommender.py:80-114) becomes:
+  Trainer.fit() -> per-epoch [train_epoch -> evaluate -> plateau.step ->
+  best-model vote -> early_stopping] -> final metrics from best params.
+
+Parity points:
+  * best-model vote: at K = max(topN), count metrics that worsened vs
+    improved; new best when the majority improved
+    (base/main_recommender.py:138-160);
+  * early stop on Recall@maxN not improving for `early_stopping_steps`
+    epochs (util/evaluation.py:195-202);
+  * ReduceLROnPlateau on the epoch mean train loss (KHGRec.py:191).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import Config
+from ..eval.metrics import metrics_to_host, ranking_metrics
+from ..models.base import ModelBundle
+from ..ops.sampling import epoch_kg_batches, epoch_pairwise_batches
+from .optim import PlateauState, make_optimizer, set_lr
+
+
+@dataclass
+class EpochRecord:
+    epoch: int
+    train_time: float
+    test_time: float
+    losses: dict
+    metrics: dict  # {N: {metric: value}}
+
+
+@dataclass
+class FitResult:
+    best_epoch: int
+    best_metrics: dict
+    history: list[EpochRecord] = field(default_factory=list)
+    final_metrics: dict | None = None
+    examples_per_sec: float = 0.0
+
+
+class Trainer:
+    def __init__(self, bundle: ModelBundle, seed: Optional[int] = None):
+        self.bundle = bundle
+        self.cfg = bundle.cfg
+        cfg = self.cfg
+        self.opt = make_optimizer(cfg.lrate, cfg.weight_decay)
+        self.rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.params, self.extras = bundle.init(init_rng)
+        self.opt_state = self.opt.init(self.params)
+        self.plateau = PlateauState(lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience)
+        self._epoch_fn = jax.jit(self._build_epoch_fn())
+        self._eval_fn = jax.jit(self._build_eval_fn())
+        self.n_batches = -(-bundle.cf.n_train // cfg.batch_size)
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self):
+        bundle = self.bundle
+        cfg = self.cfg
+        cf = bundle.cf
+        opt = self.opt
+
+        def epoch_fn(params, opt_state, extras, rng):
+            k_cf, k_kg, k_steps = jax.random.split(rng, 3)
+            users, pos, neg = epoch_pairwise_batches(
+                k_cf, cf.edge_u, cf.edge_i, cf.rated_pad, cf.n_items,
+                cfg.batch_size, cfg.neg_resample_rounds,
+            )
+            n_batches = users.shape[0]
+            if bundle.uses_kg:
+                kg = bundle.kg
+                h, r, pt, nt = epoch_kg_batches(
+                    k_kg, kg.att_h[: kg.n_kg_train], kg.att_r[: kg.n_kg_train],
+                    kg.att_t[: kg.n_kg_train], kg.head_tails_pad, kg.n_entities,
+                    n_batches, cfg.batch_size_kg, cfg.neg_resample_rounds,
+                )
+                batches = (users, pos, neg, h, r, pt, nt)
+            else:
+                batches = (users, pos, neg)
+            step_rngs = jax.random.split(k_steps, n_batches)
+
+            def step(carry, xs):
+                params, opt_state, extras = carry
+                batch, srng = xs[:-1], xs[-1]
+                k_up, k_loss = jax.random.split(srng)
+                if bundle.update_extras is not None:
+                    extras = bundle.update_extras(params, extras, batch, k_up)
+                (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
+                    params, extras, batch, k_loss
+                )
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, extras), (loss, aux)
+
+            (params, opt_state, extras), (losses, auxes) = jax.lax.scan(
+                step, (params, opt_state, extras), batches + (step_rngs,)
+            )
+            mean_aux = jax.tree.map(jnp.mean, auxes)
+            return params, opt_state, extras, jnp.mean(losses), mean_aux
+
+        return epoch_fn
+
+    def _build_eval_fn(self):
+        bundle = self.bundle
+        cfg = self.cfg
+        cf = bundle.cf
+        top_ns = tuple(cfg.top_ns)
+
+        def eval_fn(params, extras):
+            u_emb, i_emb = bundle.encode_eval(params, extras)
+            return ranking_metrics(
+                u_emb, i_emb, cf.rated_pad, cf.eval_data, top_ns, block=cfg.eval_user_batch
+            )
+
+        return eval_fn
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, epoch: int) -> tuple[float, dict]:
+        self.rng, k = jax.random.split(self.rng)
+        if self.bundle.epoch_update_extras is not None:
+            self.rng, ke = jax.random.split(self.rng)
+            self.extras = self.bundle.epoch_update_extras(self.params, self.extras, ke)
+        self.params, self.opt_state, self.extras, loss, aux = self._epoch_fn(
+            self.params, self.opt_state, self.extras, k
+        )
+        loss = float(loss)
+        aux = {k2: float(v) for k2, v in aux.items()}
+        aux["train_loss"] = loss
+        return loss, aux
+
+    def evaluate(self) -> dict:
+        m = self._eval_fn(self.params, self.extras)
+        return metrics_to_host(m, tuple(self.cfg.top_ns))
+
+    def fit(self, max_epoch: Optional[int] = None, log_fn=print, quiet: bool = False) -> FitResult:
+        cfg = self.cfg
+        max_epoch = cfg.max_epoch if max_epoch is None else max_epoch
+        max_n = cfg.max_n
+        result = FitResult(best_epoch=-1, best_metrics={})
+        best_perf: dict | None = None
+        best_params = self.params
+        best_extras = self.extras
+        recall_list: list[float] = []
+        examples = 0
+        train_time_total = 0.0
+
+        for ep in range(max_epoch):
+            t0 = time.time()
+            loss, aux = self.run_epoch(ep)
+            jax.block_until_ready(jax.tree.leaves(self.params)[0])
+            t1 = time.time()
+            metrics = self.evaluate()
+            t2 = time.time()
+            examples += self.n_batches * cfg.batch_size
+            train_time_total += t1 - t0
+
+            perf = metrics[max_n]
+            # best-model vote (base/main_recommender.py:138-160)
+            if best_perf is None:
+                best_perf, result.best_epoch = dict(perf), ep + 1
+                best_params, best_extras = self.params, self.extras
+            else:
+                count = sum(1 if best_perf[k] > perf[k] else -1 for k in best_perf)
+                if count < 0:
+                    best_perf, result.best_epoch = dict(perf), ep + 1
+                    best_params, best_extras = self.params, self.extras
+
+            self.plateau = self.plateau.step(loss)
+            self.opt_state = set_lr(self.opt_state, self.plateau.lr)
+
+            result.history.append(
+                EpochRecord(ep, t1 - t0, t2 - t1, aux, metrics)
+            )
+            if not quiet:
+                log_fn(
+                    f"epoch {ep+1:3d} loss {loss:.4f} "
+                    + " ".join(f"{k}@{max_n}:{v:.5f}" for k, v in perf.items())
+                    + f" (train {t1-t0:.2f}s eval {t2-t1:.2f}s)"
+                )
+
+            recall_list.append(perf["recall"])
+            _, should_stop = _early_stopping(recall_list, cfg.early_stopping_steps)
+            if should_stop:
+                if not quiet:
+                    log_fn(f"early stop at epoch {ep+1}")
+                break
+
+        # final test with best params (reference: user_emb <- best_user_emb
+        # then test(), base/main_recommender.py:179-181)
+        self.params, self.extras = best_params, best_extras
+        result.best_metrics = best_perf or {}
+        result.final_metrics = self.evaluate()
+        result.examples_per_sec = examples / max(train_time_total, 1e-9)
+        return result
+
+
+def _early_stopping(recall_list, stopping_steps):
+    best = max(recall_list)
+    best_step = recall_list.index(best)
+    return best, len(recall_list) - best_step - 1 >= stopping_steps

@@ -1,0 +1,57 @@
+"""End-to-end training smoke + learning tests (MF, LightGCN)."""
+
+import numpy as np
+
+from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+from hypergraph_diffusion_for_recommendation_tpu.data import (
+    build_cf_device_data,
+    build_interaction,
+)
+from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+from hypergraph_diffusion_for_recommendation_tpu.train import Trainer
+
+
+def _fit(model_name, tiny_dataset, epochs, **cfg_kw):
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cfg = make_config(
+        model_name,
+        batch_size=512,
+        embedding_size=32,
+        item_ranking=(10, 20),
+        eval_user_batch=64,
+        max_epoch=epochs,
+        early_stopping_steps=epochs,
+        **cfg_kw,
+    )
+    cf = build_cf_device_data(inter, eval_user_multiple=cfg.eval_user_batch)
+    bundle = build_model(cfg, cf)
+    trainer = Trainer(bundle)
+    result = trainer.fit(quiet=True)
+    return result
+
+
+def test_mf_learns(tiny_dataset):
+    result = _fit("MF", tiny_dataset, epochs=30, lrate=0.05)
+    losses = [r.losses["train_loss"] for r in result.history]
+    assert losses[-1] < losses[0] * 0.7, losses
+    # planted-structure synthetic: random embeddings give recall@20 ~ N/I
+    # (~0.07); a trained model must far exceed it
+    assert result.best_metrics["recall"] > 0.15, result.best_metrics
+
+
+def test_lightgcn_learns(tiny_dataset):
+    result = _fit("LightGCN", tiny_dataset, epochs=30, lrate=0.05)
+    assert result.best_metrics["recall"] > 0.15, result.best_metrics
+    # history records both cutoffs
+    assert set(result.history[0].metrics) == {10, 20}
+
+
+def test_plateau_reduces_lr():
+    from hypergraph_diffusion_for_recommendation_tpu.train import PlateauState
+
+    p = PlateauState(lr=1.0, factor=0.5, patience=2)
+    p = p.step(1.0)
+    for _ in range(3):
+        p = p.step(1.0)  # no improvement
+    assert p.lr == 0.5
