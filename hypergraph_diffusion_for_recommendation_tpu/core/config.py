@@ -104,8 +104,9 @@ MODEL_DEFAULTS: dict[str, dict[str, Any]] = {
     "DirectAU": dict(reg=0.1),
     "LightGCN": dict(n_layers=2, reg=0.1),
     "SGL": dict(n_layers=2, reg=0.1, cl_rate=0.1, drop_rate=0.1, temp=0.2, aug_type=1),
-    "HCCF": dict(n_layers=2, reg=0.01, hyper_dim=128, drop_rate=0.5, p=0.5, temp=10.0, cl_rate=0.01),
-    "HCCF_diffusion": dict(n_layers=2, reg=0.01, hyper_dim=128, drop_rate=0.5, p=0.5, temp=10.0, cl_rate=0.01),
+    # HCCF CLI docstring (HCCF.py:18-21): lr 1e-3, drop 0.5, cl 1e-4, temp 0.2
+    "HCCF": dict(n_layers=2, reg=0.1, hyper_dim=128, drop_rate=0.5, p=0.1, temp=0.2, cl_rate=1e-4, lrate=0.001),
+    "HCCF_diffusion": dict(n_layers=2, reg=0.1, hyper_dim=128, drop_rate=0.5, p=0.1, temp=0.2, cl_rate=1e-4, lrate=0.001),
     "DHCF": dict(n_layers=2, reg=0.01),
     "DHCF_diffusion": dict(n_layers=2, reg=0.01),
     "SHT": dict(n_layers=2, reg=0.01, hyper_dim=128, hyperedge_num=128, cl_rate=0.001, temp=0.2),

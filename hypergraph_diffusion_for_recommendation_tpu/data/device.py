@@ -97,6 +97,12 @@ class CFDeviceData:
     inv_int_norm: AdjPair  # row-normalised I x U
     b_hyper: AdjPair  # D_v^-1/2 H D_e^-1/2 (U x I): Theta_uu = B B^T, Theta_ii = B^T B
     raw_int: AdjPair  # unnormalised U x I incidence H
+    raw_adj: AdjPair  # unnormalised (U+I)^2 bipartite adjacency
+    # bip_src[k] = index into raw_int.fwd values of the interaction edge
+    # behind raw_adj.fwd entry k — dropping a (u,i) pair zeroes BOTH
+    # bipartite directions, matching SGL's augment-then-symmetrise flow
+    # (SGL.py:143-147 drops on interaction_mat, then convert_to_laplacian)
+    bip_src: jnp.ndarray
     edge_u: jnp.ndarray  # [n_train] int32
     edge_i: jnp.ndarray
     rated_pad: jnp.ndarray  # [U, max_deg] dense item ids, pad -1
@@ -157,6 +163,29 @@ def build_cf_device_data(
     b = (sp.diags(dv_is) @ h_mat @ sp.diags(de_is)).tocsr()
     b_hyper = adj_pair_from_scipy(b, pad_multiple)
 
+    # raw bipartite adjacency with per-entry provenance to interaction edges
+    n_users, n_items = inter.n_users, inter.n_items
+    icoo = inter.interaction_mat.tocoo()
+    iorder = np.lexsort((icoo.col, icoo.row))  # raw_int.fwd order
+    iu, ii = icoo.row[iorder], icoo.col[iorder]
+    n_int = iu.shape[0]
+    src = np.arange(n_int)
+    bip_rows = np.concatenate([iu, ii + n_users])
+    bip_cols = np.concatenate([ii + n_users, iu])
+    bip_src0 = np.concatenate([src, src])
+    border = np.lexsort((bip_cols, bip_rows))
+    raw_adj = make_adj_pair(
+        bip_rows[border], bip_cols[border], np.ones(2 * n_int, np.float32),
+        (n_users + n_items, n_users + n_items), pad_multiple,
+    )
+    bip_src_sorted = bip_src0[border]
+    pad_n = raw_adj.fwd.nnz_pad - 2 * n_int
+    # pad entries are inert (their bipartite rows are out of range and
+    # dropped by every segment op), so any in-range source index is fine
+    bip_src_full = np.concatenate(
+        [bip_src_sorted, np.zeros(pad_n, np.int64)]
+    ).astype(np.int32)
+
     rated = padded_rows_from_lists(inter.rated_lists(), fill=-1, pad_multiple=pad_multiple)
 
     test_users, test_groups, test_counts = inter.test_lists()
@@ -189,6 +218,8 @@ def build_cf_device_data(
         inv_int_norm=inv_int_norm,
         b_hyper=b_hyper,
         raw_int=raw_int,
+        raw_adj=raw_adj,
+        bip_src=jnp.asarray(bip_src_full),
         edge_u=jnp.asarray(inter.train_u),
         edge_i=jnp.asarray(inter.train_i),
         rated_pad=jnp.asarray(rated),

@@ -3,5 +3,10 @@ from .base import MODEL_REGISTRY, ModelBundle, build_model, register_model
 # import model modules for registration side-effects
 from . import mf  # noqa: F401
 from . import lightgcn  # noqa: F401
+from . import sgl  # noqa: F401
+from . import hccf  # noqa: F401
+from . import dhcf  # noqa: F401
+from . import sht  # noqa: F401
+from . import hgcn  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]

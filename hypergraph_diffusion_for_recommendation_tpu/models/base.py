@@ -47,6 +47,13 @@ class ModelBundle:
     # optional per-epoch extras refresh (KGAT epoch-level attention,
     # KGAT.py:129-133): (params, extras, rng) -> extras
     epoch_update_extras: Optional[Callable] = None
+    # optional per-epoch setup INSIDE the jitted epoch, before the batch
+    # scan (SGL draws its two augmented graph views once per epoch,
+    # SGL.py:61-62): (params, extras, rng) -> extras
+    epoch_setup: Optional[Callable] = None
+    # optional global-norm gradient clip (HCCF/SGL use
+    # torch.nn.utils.clip_grad_norm_(model.parameters(), 4), HCCF.py:94)
+    grad_clip_norm: Optional[float] = None
 
 
 MODEL_REGISTRY: dict[str, Callable[..., ModelBundle]] = {}

@@ -296,9 +296,9 @@ class SelfAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        attn = nn.SelfAttention(num_heads=1, qkv_features=self.dim, deterministic=not train)(
-            x[None]
-        )[0]
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=1, qkv_features=self.dim, deterministic=not train
+        )(x[None])[0]
         x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
         ff = nn.Dense(self.ff_dim)(x)
         ff = nn.relu(ff)

@@ -103,6 +103,29 @@ def contrast_loss_masked(
     return jnp.sum(per * vf) / jnp.maximum(jnp.sum(vf), 1.0)
 
 
+def unique_mask(ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape `torch.unique` stand-in: sorted ids + first-occurrence
+    mask. Downstream losses treat masked-off rows as absent, matching the
+    reference's unique() semantics without dynamic shapes (survey 7.3)."""
+    s = jnp.sort(ids)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    return s, first
+
+
+def info_nce_masked(
+    view1: jnp.ndarray, view2: jnp.ndarray, valid: jnp.ndarray, temperature: float
+) -> jnp.ndarray:
+    """InfoNCE over a fixed-size buffer with a validity mask (static-shape
+    version of util/loss_torch.py:32-40 applied to unique-picked rows)."""
+    v1, v2 = _l2_normalize(view1), _l2_normalize(view2)
+    pos_score = jnp.exp(jnp.sum(v1 * v2, axis=-1) / temperature)
+    logits = jnp.exp(v1 @ v2.T / temperature) * valid[None, :].astype(view1.dtype)
+    ttl = jnp.sum(logits, axis=1)
+    per = -jnp.log(pos_score / ttl + 1e-5)
+    vf = valid.astype(per.dtype)
+    return jnp.sum(per * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+
 def kl_divergence(p_logit: jnp.ndarray, q_logit: jnp.ndarray) -> jnp.ndarray:
     """util/loss_torch.py:43-46."""
     p = jax.nn.softmax(p_logit, axis=-1)

@@ -56,6 +56,16 @@ def two_hop(a: SparseCOO, a_t: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
     return spmm(a, spmm(a_t, x))
 
 
+def renormalize_sym(a: SparseCOO) -> SparseCOO:
+    """Recompute D^-1/2 A D^-1/2 on device from current (possibly
+    edge-dropped) values — SGL re-normalises AFTER augmentation
+    (SGL.py:145-147 -> ui_graph.py:86-93). Square matrices only."""
+    deg = jax.ops.segment_sum(a.vals, a.rows, num_segments=a.nrows, indices_are_sorted=True)
+    d_inv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    vals = a.vals * d_inv[jnp.clip(a.rows, 0, a.nrows - 1)] * d_inv[jnp.clip(a.cols, 0, a.ncols - 1)]
+    return a.replace(vals=vals)
+
+
 def sp_dense_left(x: jnp.ndarray, a: SparseCOO) -> jnp.ndarray:
     """X @ A for dense X: [d, n] x [n, m] -> [d, m] via (A.T @ X.T).T."""
     return spmm_t(a, x.T).T

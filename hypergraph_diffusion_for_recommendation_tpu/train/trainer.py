@@ -76,7 +76,9 @@ class Trainer:
         opt = self.opt
 
         def epoch_fn(params, opt_state, extras, rng):
-            k_cf, k_kg, k_steps = jax.random.split(rng, 3)
+            k_cf, k_kg, k_steps, k_setup = jax.random.split(rng, 4)
+            if bundle.epoch_setup is not None:
+                extras = bundle.epoch_setup(params, extras, k_setup)
             users, pos, neg = epoch_pairwise_batches(
                 k_cf, cf.edge_u, cf.edge_i, cf.rated_pad, cf.n_items,
                 cfg.batch_size, cfg.neg_resample_rounds,
@@ -103,6 +105,10 @@ class Trainer:
                 (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
                     params, extras, batch, k_loss
                 )
+                if bundle.grad_clip_norm is not None:
+                    gnorm = optax.global_norm(grads)
+                    scale = jnp.minimum(1.0, bundle.grad_clip_norm / (gnorm + 1e-6))
+                    grads = jax.tree.map(lambda g: g * scale, grads)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state, extras), (loss, aux)
