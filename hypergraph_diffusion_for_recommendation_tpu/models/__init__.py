@@ -8,5 +8,6 @@ from . import hccf  # noqa: F401
 from . import dhcf  # noqa: F401
 from . import sht  # noqa: F401
 from . import hgcn  # noqa: F401
+from . import hd_family  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]

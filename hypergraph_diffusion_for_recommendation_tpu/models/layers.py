@@ -111,22 +111,31 @@ class EquivSetConvSpMM(nn.Module):
     normalization: str = "ln"
     input_norm: bool = True
     leaky_slope: float = 0.2
+    inner: str = "hgcn"  # 'hgcn' | 'wavelet' (WaveletHD routes the inner
+    # conv through the HWNN approximation, WaveletHD.py:346-417)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: AdjPair, x0: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dim
+        n = x.shape[0]
+
+        def inner_conv(v):
+            if self.inner == "wavelet":
+                return HWNNLayer(n, d, side="adj")(v, adj, train)
+            return hgcn_conv(adj, v, self.leaky_slope, act=True)
+
         if self.mlp1_layers > 0:
             xve = MLP(d, d, self.mlp1_layers, self.dropout, self.normalization, self.input_norm)(x, train)
         else:
             xve = x
-        xe = nn.LayerNorm()(hgcn_conv(adj, xve, self.leaky_slope, act=True)) + xve
+        xe = nn.LayerNorm()(inner_conv(xve)) + xve
         cat = jnp.concatenate([x, xe], axis=-1)
         if self.mlp2_layers > 0:
             xev = MLP(d, d, self.mlp2_layers, self.dropout, self.normalization, self.input_norm)(cat, train)
         else:
             xev = cat
         xev = mean_pool_feature(xev, d)
-        xv = nn.LayerNorm()(hgcn_conv(adj, xev, self.leaky_slope, act=True)) + xev
+        xv = nn.LayerNorm()(inner_conv(xev)) + xev
         x = (1.0 - self.alpha) * xv + self.alpha * x0
         if self.mlp3_layers > 0:
             x = MLP(d, d, self.mlp3_layers, self.dropout, self.normalization, self.input_norm)(x, train)
@@ -205,6 +214,7 @@ class EquivSetGNN(nn.Module):
     mlp2_layers: int = 0
     mlp3_layers: int = 1
     leaky_slope: float = 0.2
+    inner: str = "hgcn"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: AdjPair, train: bool = False) -> jnp.ndarray:
@@ -219,6 +229,7 @@ class EquivSetGNN(nn.Module):
             self.alpha,
             self.dropout,
             leaky_slope=self.leaky_slope,
+            inner=self.inner,
         )
         for _ in range(self.n_conv_layers):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -241,8 +252,11 @@ class HWNNLayer(nn.Module):
     wavelet.py:96-97,130-147 — survey 7.3); it is applied as
     B @ (B^T @ X) with B = D_v^-1/2 H D_e^-1/2, so every polynomial
     term is two rectangular SpMMs. `side` selects the vertex side of
-    the incidence: 'u' -> Theta_uu = B B^T, 'i' -> Theta_ii = B^T B.
-    Theta is symmetric, so poly_t uses the same operator.
+    the incidence: 'u' -> Theta_uu = B B^T, 'i' -> Theta_ii = B^T B,
+    'adj' -> Theta = S S^T over the full node set (the reference's
+    `msg == 'simple'` else-branch, wavelet.py:125-127, with S the
+    normalised bipartite adjacency). Theta is symmetric in all three
+    cases, so poly_t uses the same operator.
     """
 
     n_nodes: int
@@ -264,7 +278,7 @@ class HWNNLayer(nn.Module):
         )
 
         def theta(v: jnp.ndarray) -> jnp.ndarray:
-            if self.side == "u":
+            if self.side in ("u", "adj"):
                 return spmm(b_hyper.fwd, spmm(b_hyper.bwd, v))
             return spmm(b_hyper.bwd, spmm(b_hyper.fwd, v))
 
