@@ -9,5 +9,7 @@ from . import dhcf  # noqa: F401
 from . import sht  # noqa: F401
 from . import hgcn  # noqa: F401
 from . import hd_family  # noqa: F401
+from . import kgat  # noqa: F401
+from . import khgrec  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]

@@ -54,6 +54,13 @@ class ModelBundle:
     # optional global-norm gradient clip (HCCF/SGL use
     # torch.nn.utils.clip_grad_norm_(model.parameters(), 4), HCCF.py:94)
     grad_clip_norm: Optional[float] = None
+    # KGAT-style alternating optimisation (KGAT.py:66-125): when True the
+    # epoch runs a CF phase (batch_loss, CF optimizer) then a KG phase
+    # (kg_batch_loss, KG optimizer); epoch_update_extras then refreshes
+    # the attention adjacency from the full triple list (KGAT.py:129-133)
+    alternating: bool = False
+    # (params, extras, kg_batch, rng) -> (loss, aux) for the KG phase
+    kg_batch_loss: Optional[Callable] = None
 
 
 MODEL_REGISTRY: dict[str, Callable[..., ModelBundle]] = {}

@@ -1,0 +1,230 @@
+"""KHGRec — the flagship KG-aware hypergraph recommender.
+
+Parity with reference model/graph/KHGRec.py:
+  * one shared user-entity embedding table [n_entities, hyper_dim]
+    (:277-282); CF ego = table[user raw ids] ++ table[item raw ids]
+    (:284-287);
+  * SelfAwareEncoder (CF): per layer LN(HGCNConv(A_drop)) + residual,
+    activation off on the last conv (:374-417; self-attention branch
+    exists but is disabled by default, :387);
+  * RelationalAwareEncoder (KG): per layer
+    LN(AttHGCNConv(kg_adj_drop, A_att)) + residual (:419-453), where
+    AttHGCNConv(X) = M (M^T X) with M = A_att @ K (:440-453) — here
+    computed as the 4-SpMM chain A_att K K^T A_att^T X, never forming
+    the sparse-sparse product;
+  * per-batch attention refresh from the BATCH triples only: A_att is
+    rebuilt each step from the kg batch's (h, pos_t, r) with TransR
+    tanh scoring + row softmax (:309-331; the reference round-trips
+    through CPU sparse softmax, :330);
+  * attention fusion of CF/KG item views (:466-480; the reference's
+    separate Attention modules are excluded from its optimizer —
+    KHGRec.py:41 only passes model.parameters() — we train them,
+    documented deviation);
+  * losses: BPR + l2/batch (:341-345), TransR KG loss + l2/batch_kg
+    (:347-365), cross-view contrastLoss SSL (:367-372; the item term's
+    self-compare copy bug is fixed to the intended cross-view,
+    survey 7.4);
+  * modes full / wo_attention / wo_ssl / woglobal (:64-75).
+
+Ordering deviation: the reference scores attention from the kg forward
+under the PREVIOUS attention and applies it next batch (:120-122); we
+refresh attention first (stop-gradient) and use it in the same step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import Config
+from ..data.device import CFDeviceData, KGDeviceData
+from ..ops.losses import bpr_loss, contrast_loss_masked, l2_reg_loss, unique_mask
+from .base import ModelBundle, register_model
+from .kg_common import att_matvec, att_matvec_t, attention_softmax, attention_values
+from .layers import AttentionFusion, hgcn_conv
+from ..ops.sparse import spmm
+
+
+class SelfAwareEncoder(nn.Module):
+    n_users: int
+    dim: int
+    n_layers: int
+    slope: float
+
+    @nn.compact
+    def __call__(self, ego, adj, train: bool = False):
+        res = ego
+        for k in range(self.n_layers):
+            act = k != self.n_layers - 1
+            ego = nn.LayerNorm()(hgcn_conv(adj, ego, self.slope, act=act)) + res
+        return ego[: self.n_users], ego[self.n_users :]
+
+
+class RelationalAwareEncoder(nn.Module):
+    dim: int
+    n_layers: int
+    slope: float
+
+    @nn.compact
+    def __call__(self, embs, kg_adj, att, train: bool = False):
+        att_h, att_t, att_v = att
+        n = embs.shape[0]
+
+        def att_conv(x, act: bool):
+            # M (M^T x) with M = A_att K: A_att K K^T A_att^T x
+            y = att_matvec_t(att_h, att_t, att_v, x, n)
+            y = spmm(kg_adj.bwd, y)
+            y = spmm(kg_adj.fwd, y)
+            y = att_matvec(att_h, att_t, att_v, y, n)
+            return jax.nn.leaky_relu(y, self.slope) if act else y
+
+        res = embs
+        for k in range(self.n_layers):
+            embs = nn.LayerNorm()(att_conv(embs, act=(k != self.n_layers - 1))) + res
+        return embs
+
+
+class KHGRecModule(nn.Module):
+    n_entities: int
+    n_relations: int
+    n_users: int
+    hyper_dim: int
+    relation_dim: int
+    n_layers: int
+    slope: float
+
+    def setup(self):
+        self.user_entity_emb = self.param(
+            "user_entity_emb", nn.initializers.xavier_uniform(), (self.n_entities, self.hyper_dim)
+        )
+        self.relation_emb = self.param(
+            "relation_emb", nn.initializers.xavier_uniform(), (self.n_relations, self.relation_dim)
+        )
+        self.trans_m = self.param(
+            "trans_M", nn.initializers.xavier_uniform(),
+            (self.n_relations, self.hyper_dim, self.relation_dim),
+        )
+        self.cf_encoder = SelfAwareEncoder(self.n_users, self.hyper_dim, self.n_layers, self.slope)
+        self.kg_encoder = RelationalAwareEncoder(self.hyper_dim, self.n_layers, self.slope)
+        self.attention_item = AttentionFusion(self.hyper_dim)
+
+    def cf_forward(self, cf: CFDeviceData, kg: KGDeviceData, keep_rate: float, train: bool):
+        ego = jnp.concatenate(
+            [self.user_entity_emb[kg.user_idx], self.user_entity_emb[kg.item_idx]], axis=0
+        )
+        adj = cf.adj
+        if train and keep_rate < 1.0:
+            adj = adj.dropped(self.make_rng("edges"), keep_rate)
+        return self.cf_encoder(ego, adj, train)
+
+    def kg_forward(self, kg: KGDeviceData, att, keep_rate: float, train: bool):
+        kg_adj = kg.kg_adj
+        if train and keep_rate < 1.0:
+            kg_adj = kg_adj.dropped(self.make_rng("edges"), keep_rate)
+        return self.kg_encoder(self.user_entity_emb, kg_adj, att, train)
+
+    def fuse_items(self, item_cf, item_kg, use_attention: bool):
+        stacked = jnp.stack([item_cf, item_kg], axis=1)
+        if use_attention:
+            fused, _ = self.attention_item(stacked)
+            return fused
+        return jnp.mean(stacked, axis=1)
+
+    def __call__(self, cf: CFDeviceData, kg: KGDeviceData, att, keep_rate: float = 1.0,
+                 train: bool = False, use_attention: bool = True):
+        u_cf, i_cf = self.cf_forward(cf, kg, keep_rate, train)
+        ent_kg = self.kg_forward(kg, att, keep_rate, train)
+        u_kg = ent_kg[kg.user_idx]
+        i_kg = ent_kg[kg.item_idx]
+        fused = self.fuse_items(i_cf, i_kg, use_attention)
+        return u_cf, i_cf, ent_kg, u_kg, i_kg, fused
+
+
+@register_model("KHGRec")
+def build_khgrec(cfg: Config, cf: CFDeviceData, kg: KGDeviceData) -> ModelBundle:
+    assert kg is not None, "KHGRec requires knowledge data (use_knowledge=true)"
+    use_ssl = cfg.mode in ("full", "woatt", "wo_attention")
+    use_att = cfg.mode in ("full", "wossl", "wo_ssl")
+    module = KHGRecModule(
+        kg.n_entities, kg.n_relations, cf.n_users,
+        cfg.hyper_dim, cfg.relation_dim, cfg.n_layers, cfg.p,
+    )
+    keep = 1.0 - cfg.drop_rate
+
+    def init(rng):
+        b = cfg.batch_size_kg
+        att0 = (
+            jnp.arange(b, dtype=jnp.int32) % kg.n_entities,
+            jnp.arange(b, dtype=jnp.int32) % kg.n_entities,
+            jnp.ones((b,), jnp.float32),
+        )
+        params = module.init(
+            {"params": rng, "edges": rng}, cf, kg, att0, 1.0, False, use_att
+        )
+        return params, {"att_h": att0[0], "att_t": att0[1], "att_v": att0[2]}
+
+    def _att(extras):
+        return (extras["att_h"], extras["att_t"], extras["att_v"])
+
+    def update_extras(params, extras, batch, rng):
+        """Rebuild the attention adjacency from the current kg batch
+        (KHGRec.py:309-331), scored on the kg-encoded embeddings."""
+        users, pos, neg, h, r, pt, nt = batch
+        ent_kg = module.apply(
+            params, kg, _att(extras), 1.0, False,
+            method=KHGRecModule.kg_forward,
+        )
+        ent_kg = jax.lax.stop_gradient(ent_kg)
+        p = params["params"]
+        vals = attention_values(ent_kg, p["relation_emb"], p["trans_M"], h, pt, r)
+        att_v = attention_softmax(vals, h, kg.n_entities)
+        return {"att_h": h, "att_t": pt, "att_v": att_v}
+
+    def batch_loss(params, extras, batch, rng):
+        users, pos, neg, h, r, pt, nt = batch
+        k1, k2 = jax.random.split(rng)
+        u_cf, i_cf, ent_kg, u_kg, i_kg, fused = module.apply(
+            params, cf, kg, _att(extras), keep, True, use_att,
+            rngs={"edges": k1, "dropout": k2},
+        )
+        # CF loss (:341-345)
+        ue, pe, ne = u_cf[users], fused[pos], fused[neg]
+        rec = bpr_loss(ue, pe, ne)
+        cf_loss = rec + l2_reg_loss(cfg.reg, ue, pe, ne) / cfg.batch_size
+        # KG TransR loss on the kg-encoded embeddings (:124-126, :347-365)
+        p = params["params"]
+        from .kg_common import project_by_relation
+
+        r_emb = p["relation_emb"][r]
+        r_mul_h = project_by_relation(ent_kg[h], p["trans_M"], r)
+        r_mul_pos = project_by_relation(ent_kg[pt], p["trans_M"], r)
+        r_mul_neg = project_by_relation(ent_kg[nt], p["trans_M"], r)
+        pos_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_pos), axis=1)
+        neg_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_neg), axis=1)
+        kg_loss = jnp.mean(-jax.nn.log_sigmoid(neg_score - pos_score))
+        kg_loss = kg_loss + l2_reg_loss(cfg.reg_kg, r_mul_h, r_emb, r_mul_pos, r_mul_neg) / cfg.batch_size_kg
+
+        loss = cf_loss + kg_loss
+        aux = {"rec_loss": rec, "cf_loss": cf_loss, "kg_loss": kg_loss}
+        if use_ssl:
+            uu, um = unique_mask(users)
+            iu, im = unique_mask(pos)
+            ssl = contrast_loss_masked(u_cf, u_kg, uu, um, cfg.temp)
+            ssl = ssl + contrast_loss_masked(i_cf, i_kg, iu, im, cfg.temp)
+            ssl = cfg.cl_rate * ssl
+            aux["cl_loss"] = ssl
+            loss = loss + ssl
+        return loss, aux
+
+    def encode_eval(params, extras):
+        u_cf, i_cf, ent_kg, u_kg, i_kg, fused = module.apply(
+            params, cf, kg, _att(extras), 1.0, False, use_att
+        )
+        return u_cf, fused
+
+    return ModelBundle(
+        name="KHGRec", cfg=cfg, cf=cf, kg=kg, uses_kg=True,
+        init=init, batch_loss=batch_loss, encode_eval=encode_eval,
+        update_extras=update_extras,
+    )

@@ -62,9 +62,21 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.params, self.extras = bundle.init(init_rng)
-        self.opt_state = self.opt.init(self.params)
         self.plateau = PlateauState(lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience)
-        self._epoch_fn = jax.jit(self._build_epoch_fn())
+        if bundle.alternating:
+            # KGAT: two Adam instances over the same params (KGAT.py:66-67)
+            self.kg_opt = make_optimizer(cfg.lrate, cfg.weight_decay)
+            self.opt_state = {
+                "cf": self.opt.init(self.params),
+                "kg": self.kg_opt.init(self.params),
+            }
+            self.kg_plateau = PlateauState(
+                lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience
+            )
+            self._epoch_fn = jax.jit(self._build_alternating_epoch_fn())
+        else:
+            self.opt_state = self.opt.init(self.params)
+            self._epoch_fn = jax.jit(self._build_epoch_fn())
         self._eval_fn = jax.jit(self._build_eval_fn())
         self.n_batches = -(-bundle.cf.n_train // cfg.batch_size)
 
@@ -121,6 +133,72 @@ class Trainer:
 
         return epoch_fn
 
+    def _build_alternating_epoch_fn(self):
+        """KGAT flavour: CF scan (CF Adam) then KG scan (KG Adam)."""
+        bundle = self.bundle
+        cfg = self.cfg
+        cf = bundle.cf
+        kg = bundle.kg
+        cf_opt, kg_opt = self.opt, self.kg_opt
+        n_kg_batches = int(kg.n_kg_train // cfg.batch_size_kg + 1)
+
+        def clip(grads):
+            if bundle.grad_clip_norm is None:
+                return grads
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, bundle.grad_clip_norm / (gnorm + 1e-6))
+            return jax.tree.map(lambda g: g * scale, grads)
+
+        def epoch_fn(params, opt_state, extras, rng):
+            k_cf, k_kg, k_s1, k_s2 = jax.random.split(rng, 4)
+            users, pos, neg = epoch_pairwise_batches(
+                k_cf, cf.edge_u, cf.edge_i, cf.rated_pad, cf.n_items,
+                cfg.batch_size, cfg.neg_resample_rounds,
+            )
+            cf_rngs = jax.random.split(k_s1, users.shape[0])
+
+            def cf_step(carry, xs):
+                params, ostate = carry
+                *batch, srng = xs
+                (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
+                    params, extras, tuple(batch), srng
+                )
+                updates, ostate = cf_opt.update(clip(grads), ostate, params)
+                params = optax.apply_updates(params, updates)
+                return (params, ostate), loss
+
+            (params, cf_state), cf_losses = jax.lax.scan(
+                cf_step, (params, opt_state["cf"]), (users, pos, neg, cf_rngs)
+            )
+
+            h, r, pt, nt = epoch_kg_batches(
+                k_kg, kg.att_h[: kg.n_kg_train], kg.att_r[: kg.n_kg_train],
+                kg.att_t[: kg.n_kg_train], kg.head_tails_pad, kg.n_entities,
+                n_kg_batches, cfg.batch_size_kg, cfg.neg_resample_rounds,
+            )
+            kg_rngs = jax.random.split(k_s2, n_kg_batches)
+
+            def kg_step(carry, xs):
+                params, ostate = carry
+                *batch, srng = xs
+                (loss, aux), grads = jax.value_and_grad(bundle.kg_batch_loss, has_aux=True)(
+                    params, extras, tuple(batch), srng
+                )
+                updates, ostate = kg_opt.update(clip(grads), ostate, params)
+                params = optax.apply_updates(params, updates)
+                return (params, ostate), loss
+
+            (params, kg_state), kg_losses = jax.lax.scan(
+                kg_step, (params, opt_state["kg"]), (h, r, pt, nt, kg_rngs)
+            )
+
+            cf_loss = jnp.mean(cf_losses)
+            kg_loss = jnp.mean(kg_losses)
+            aux = {"cf_loss": cf_loss, "kg_loss": kg_loss}
+            return params, {"cf": cf_state, "kg": kg_state}, extras, cf_loss + kg_loss, aux
+
+        return epoch_fn
+
     def _build_eval_fn(self):
         bundle = self.bundle
         cfg = self.cfg
@@ -138,12 +216,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int) -> tuple[float, dict]:
         self.rng, k = jax.random.split(self.rng)
-        if self.bundle.epoch_update_extras is not None:
-            self.rng, ke = jax.random.split(self.rng)
-            self.extras = self.bundle.epoch_update_extras(self.params, self.extras, ke)
         self.params, self.opt_state, self.extras, loss, aux = self._epoch_fn(
             self.params, self.opt_state, self.extras, k
         )
+        # attention refresh AFTER the phases (KGAT.py:128-133: epoch 1 runs
+        # with the zero-initialised A_in, attention learned afterwards)
+        if self.bundle.epoch_update_extras is not None:
+            self.rng, ke = jax.random.split(self.rng)
+            self.extras = self.bundle.epoch_update_extras(self.params, self.extras, ke)
         loss = float(loss)
         aux = {k2: float(v) for k2, v in aux.items()}
         aux["train_loss"] = loss
@@ -186,8 +266,15 @@ class Trainer:
                     best_perf, result.best_epoch = dict(perf), ep + 1
                     best_params, best_extras = self.params, self.extras
 
-            self.plateau = self.plateau.step(loss)
-            self.opt_state = set_lr(self.opt_state, self.plateau.lr)
+            if self.bundle.alternating:
+                # per-phase schedulers on per-phase losses (KGAT.py:68-69,140-141)
+                self.plateau = self.plateau.step(aux.get("cf_loss", loss))
+                self.kg_plateau = self.kg_plateau.step(aux.get("kg_loss", loss))
+                self.opt_state["cf"] = set_lr(self.opt_state["cf"], self.plateau.lr)
+                self.opt_state["kg"] = set_lr(self.opt_state["kg"], self.kg_plateau.lr)
+            else:
+                self.plateau = self.plateau.step(loss)
+                self.opt_state = set_lr(self.opt_state, self.plateau.lr)
 
             result.history.append(
                 EpochRecord(ep, t1 - t0, t2 - t1, aux, metrics)

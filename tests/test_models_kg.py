@@ -1,0 +1,82 @@
+"""KG-augmented model tests (KGAT, KHGRec)."""
+
+import numpy as np
+import pytest
+
+from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+from hypergraph_diffusion_for_recommendation_tpu.data import (
+    build_cf_device_data,
+    build_interaction,
+    build_kg_device_data,
+    build_knowledge,
+)
+from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+from hypergraph_diffusion_for_recommendation_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def kg_setup(tiny_kg_dataset):
+    train, test, kg_df = tiny_kg_dataset
+    inter = build_interaction(train, test)
+    kg = build_knowledge(kg_df, inter)
+    cf_dev = build_cf_device_data(inter, eval_user_multiple=64)
+    kg_dev = build_kg_device_data(kg)
+    return inter, cf_dev, kg_dev
+
+
+def test_knowledge_construction(tiny_kg_dataset):
+    train, test, kg_df = tiny_kg_dataset
+    inter = build_interaction(train, test)
+    kg = build_knowledge(kg_df, inter)
+    n_rel0 = int(kg_df["r"].max()) + 1
+    # CF relations 0/1 exist, shifted KG relations start at 2
+    assert 0 in set(kg.r.tolist()) and 1 in set(kg.r.tolist())
+    assert kg.n_relations == 2 * n_rel0 + 2
+    # triple count: (kg + inverse) shifted + unshifted inverse + 2 * cf
+    assert kg.n_kg_train == 3 * len(kg_df) + 2 * inter.n_cf_train
+    # user entity ids disjoint from item entity ids
+    assert not (set(kg.user_entity_ids.tolist()) & set(kg.item_entity_ids.tolist()))
+
+
+def test_kgat_learns(kg_setup):
+    inter, cf_dev, kg_dev = kg_setup
+    cfg = make_config(
+        "KGAT", batch_size=512, batch_size_kg=1024, embedding_size=32,
+        relation_dim=32, conv_dim_list=(32, 16), mess_dropout=(0.1, 0.1),
+        item_ranking=(10, 20), eval_user_batch=64, max_epoch=20,
+        early_stopping_steps=20, lrate=0.01,
+    )
+    bundle = build_model(cfg, cf_dev, kg_dev)
+    assert bundle.alternating
+    result = Trainer(bundle).fit(quiet=True)
+    losses = [r.losses["train_loss"] for r in result.history]
+    assert np.isfinite(losses).all(), losses
+    assert result.best_metrics["recall"] > 0.12, result.best_metrics
+
+
+def test_khgrec_learns(kg_setup):
+    inter, cf_dev, kg_dev = kg_setup
+    cfg = make_config(
+        "KHGRec", batch_size=512, batch_size_kg=1024, hyper_dim=32,
+        relation_dim=32, item_ranking=(10, 20), eval_user_batch=64,
+        max_epoch=20, early_stopping_steps=20, lrate=0.005, temp=1.0,
+        cl_rate=0.01, drop_rate=0.2, mode="full",
+    )
+    bundle = build_model(cfg, cf_dev, kg_dev)
+    result = Trainer(bundle).fit(quiet=True)
+    losses = [r.losses["train_loss"] for r in result.history]
+    assert np.isfinite(losses).all(), losses
+    assert result.best_metrics["recall"] > 0.12, result.best_metrics
+
+
+def test_khgrec_modes_run(kg_setup):
+    inter, cf_dev, kg_dev = kg_setup
+    for mode in ("wossl", "woglobal"):
+        cfg = make_config(
+            "KHGRec", batch_size=512, batch_size_kg=512, hyper_dim=16,
+            relation_dim=16, item_ranking=(10,), eval_user_batch=64,
+            max_epoch=2, early_stopping_steps=5, mode=mode,
+        )
+        bundle = build_model(cfg, cf_dev, kg_dev)
+        result = Trainer(bundle).fit(quiet=True)
+        assert np.isfinite([r.losses["train_loss"] for r in result.history]).all()
