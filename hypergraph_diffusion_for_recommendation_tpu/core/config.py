@@ -72,6 +72,7 @@ class Config:
     compute_dtype: str = "float32"  # bfloat16 for large-scale runs
     use_pallas: str = "auto"  # auto | always | never
     neg_resample_rounds: int = 8  # on-device rejection-free redraw rounds
+    shard_min_rows: int = 1024  # min table rows before row-sharding kicks in
     eval_user_batch: int = 512  # users scored per eval block
     pad_multiple: int = 8  # pad nnz/rows to multiples of this
 

@@ -79,6 +79,9 @@ def build_knowledge(kg_df: pd.DataFrame, inter: InteractionData) -> KnowledgeDat
     kg_train = np.concatenate([kg_train, cf_fwd, cf_inv], axis=0)
 
     n_entities = int(max(kg_train[:, 0].max(), kg_train[:, 2].max())) + 1
+    # round the entity-table row count up so it row-shards evenly over
+    # small meshes (extra rows are never referenced by any triple)
+    n_entities = ((n_entities + 15) // 16) * 16
     n_relations = int(kg_train[:, 1].max()) + 1
 
     h = kg_train[:, 0].astype(np.int32)

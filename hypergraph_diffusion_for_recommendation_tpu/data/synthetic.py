@@ -19,6 +19,12 @@ import numpy as np
 import pandas as pd
 
 
+def _item_clusters(n_items: int, n_clusters: int, cluster_seed: int) -> np.ndarray:
+    """Shared item->cluster map so the KG attributes align with the
+    planted interaction structure."""
+    return np.random.default_rng(abs(cluster_seed) + 1000).integers(0, n_clusters, n_items)
+
+
 def generate_interactions(
     n_users: int = 1890,
     n_items: int = 4000,
@@ -27,10 +33,11 @@ def generate_interactions(
     seed: int = 7,
     user_id_offset: int | None = None,
     affinity: float = 8.0,
+    cluster_seed: int | None = None,
 ) -> np.ndarray:
     """Return raw (user, item) pairs with planted cluster structure."""
     rng = np.random.default_rng(seed)
-    item_cluster = rng.integers(0, n_clusters, n_items)
+    item_cluster = _item_clusters(n_items, n_clusters, seed if cluster_seed is None else cluster_seed)
     item_pop = rng.zipf(1.5, n_items).astype(np.float64)
     item_pop = np.clip(item_pop, 1, 50)
 
@@ -63,6 +70,7 @@ def generate_kg(
     n_attrs_per_cluster: int = 8,
     n_relations: int = 4,
     seed: int = 11,
+    cluster_seed: int = 7,
 ) -> pd.DataFrame:
     """Item->attribute triples; attributes encode (noisy) cluster identity.
 
@@ -70,8 +78,8 @@ def generate_kg(
     knowledge builder shifts them by +2 to make room for the CF
     relations, parity with data/knowledge.py:54).
     """
-    rng = np.random.default_rng(seed)
-    item_cluster = np.random.default_rng(seed - 4).integers(0, n_clusters, n_items)
+    rng = np.random.default_rng(abs(seed))
+    item_cluster = _item_clusters(n_items, n_clusters, cluster_seed)
     n_attrs = n_clusters * n_attrs_per_cluster
     triples = []
     for i in range(n_items):
@@ -103,11 +111,11 @@ def synthetic_dataset(
     n_attrs = n_clusters * 8
     offset = n_items + n_attrs if with_kg else n_items
     pairs = generate_interactions(
-        n_users, n_items, n_clusters, mean_degree, seed, user_id_offset=offset
+        n_users, n_items, n_clusters, mean_degree, seed, user_id_offset=offset, cluster_seed=seed
     )
     rng = np.random.default_rng(seed + 1)
     perm = rng.permutation(len(pairs))
     n_train = int(len(pairs) * train_frac)
     train, test = pairs[perm[:n_train]], pairs[perm[n_train:]]
-    kg = generate_kg(n_items, n_clusters, seed=seed + 2) if with_kg else None
+    kg = generate_kg(n_items, n_clusters, seed=seed + 2, cluster_seed=seed) if with_kg else None
     return train, test, kg

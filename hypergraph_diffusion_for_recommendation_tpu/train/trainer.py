@@ -54,14 +54,25 @@ class FitResult:
 
 
 class Trainer:
-    def __init__(self, bundle: ModelBundle, seed: Optional[int] = None):
+    def __init__(self, bundle: ModelBundle, seed: Optional[int] = None, mesh=None):
         self.bundle = bundle
         self.cfg = bundle.cfg
         cfg = self.cfg
+        self.mesh = mesh
         self.opt = make_optimizer(cfg.lrate, cfg.weight_decay)
         self.rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.params, self.extras = bundle.init(init_rng)
+        if mesh is not None:
+            # shard embedding tables over the model axis; the optimizer
+            # state initialised from sharded params inherits the layout,
+            # and jit/GSPMD propagates shardings through the epoch.
+            from ..parallel.mesh import param_shardings, replicated
+
+            self.params = jax.device_put(
+                self.params, param_shardings(self.params, mesh, cfg.shard_min_rows)
+            )
+            self.extras = jax.device_put(self.extras, replicated(mesh))
         self.plateau = PlateauState(lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience)
         if bundle.alternating:
             # KGAT: two Adam instances over the same params (KGAT.py:66-67)
