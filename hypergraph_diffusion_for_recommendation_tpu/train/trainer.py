@@ -244,7 +244,34 @@ class Trainer:
         m = self._eval_fn(self.params, self.extras)
         return metrics_to_host(m, tuple(self.cfg.top_ns))
 
-    def fit(self, max_epoch: Optional[int] = None, log_fn=print, quiet: bool = False) -> FitResult:
+    def restore(self, ckpt) -> int:
+        """Resume from the latest checkpoint; returns the start epoch."""
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "extras": self.extras,
+            "rng": self.rng,
+        }
+        step = ckpt.latest_step()
+        if step is None:
+            return 0
+        state = ckpt.restore(step, template)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.extras = state["extras"]
+        self.rng = jnp.asarray(state["rng"])
+        return step + 1
+
+    def fit(
+        self,
+        max_epoch: Optional[int] = None,
+        log_fn=print,
+        quiet: bool = False,
+        artifacts=None,
+        ckpt=None,
+        ckpt_every: int = 10,
+        start_epoch: int = 0,
+    ) -> FitResult:
         cfg = self.cfg
         max_epoch = cfg.max_epoch if max_epoch is None else max_epoch
         max_n = cfg.max_n
@@ -256,7 +283,7 @@ class Trainer:
         examples = 0
         train_time_total = 0.0
 
-        for ep in range(max_epoch):
+        for ep in range(start_epoch, max_epoch):
             t0 = time.time()
             loss, aux = self.run_epoch(ep)
             jax.block_until_ready(jax.tree.leaves(self.params)[0])
@@ -287,9 +314,12 @@ class Trainer:
                 self.plateau = self.plateau.step(loss)
                 self.opt_state = set_lr(self.opt_state, self.plateau.lr)
 
-            result.history.append(
-                EpochRecord(ep, t1 - t0, t2 - t1, aux, metrics)
-            )
+            record = EpochRecord(ep, t1 - t0, t2 - t1, aux, metrics)
+            result.history.append(record)
+            if artifacts is not None:
+                artifacts.on_epoch(record)
+            if ckpt is not None and (ep + 1) % ckpt_every == 0:
+                ckpt.save(ep, self.params, self.opt_state, self.extras, self.rng)
             if not quiet:
                 log_fn(
                     f"epoch {ep+1:3d} loss {loss:.4f} "
@@ -310,6 +340,8 @@ class Trainer:
         result.best_metrics = best_perf or {}
         result.final_metrics = self.evaluate()
         result.examples_per_sec = examples / max(train_time_total, 1e-9)
+        if artifacts is not None:
+            artifacts.finish(result)
         return result
 
 
