@@ -10,6 +10,8 @@ from . import sht  # noqa: F401
 from . import hgcn  # noqa: F401
 from . import hd_family  # noqa: F401
 from . import kgat  # noqa: F401
-from . import khgrec  # noqa: F401
+from . import khgrec  # noqa: F401  (also registers HGNN, HD2, HGNNAblation)
+from . import hccf_diffusion  # noqa: F401
+from . import dhcf_diffusion  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]

@@ -51,13 +51,26 @@ class SelfAwareEncoder(nn.Module):
     dim: int
     n_layers: int
     slope: float
+    use_self_att: bool = False  # HGNN/HD2 enable it (HGNN_cp.py:369, HD2.py:395-421)
+    use_hyper: bool = True  # HGNNAblation toggles two-hop vs one-hop (HGNNAblation.py:490-510)
 
     @nn.compact
     def __call__(self, ego, adj, train: bool = False):
+        from .layers import SelfAttentionBlock
+        from ..ops.sparse import spmm as _spmm
+
         res = ego
         for k in range(self.n_layers):
+            if self.use_self_att:
+                ego = SelfAttentionBlock(self.dim)(ego, train)
             act = k != self.n_layers - 1
-            ego = nn.LayerNorm()(hgcn_conv(adj, ego, self.slope, act=act)) + res
+            if self.use_hyper:
+                conv = hgcn_conv(adj, ego, self.slope, act=act)
+            else:
+                conv = _spmm(adj.fwd, ego)
+                if act:
+                    conv = jax.nn.leaky_relu(conv, self.slope)
+            ego = nn.LayerNorm()(conv) + res
         return ego[: self.n_users], ego[self.n_users :]
 
 
@@ -94,6 +107,9 @@ class KHGRecModule(nn.Module):
     n_layers: int
     slope: float
 
+    use_self_att: bool = False
+    use_hyper: bool = True
+
     def setup(self):
         self.user_entity_emb = self.param(
             "user_entity_emb", nn.initializers.xavier_uniform(), (self.n_entities, self.hyper_dim)
@@ -105,7 +121,10 @@ class KHGRecModule(nn.Module):
             "trans_M", nn.initializers.xavier_uniform(),
             (self.n_relations, self.hyper_dim, self.relation_dim),
         )
-        self.cf_encoder = SelfAwareEncoder(self.n_users, self.hyper_dim, self.n_layers, self.slope)
+        self.cf_encoder = SelfAwareEncoder(
+            self.n_users, self.hyper_dim, self.n_layers, self.slope,
+            self.use_self_att, self.use_hyper,
+        )
         self.kg_encoder = RelationalAwareEncoder(self.hyper_dim, self.n_layers, self.slope)
         self.attention_item = AttentionFusion(self.hyper_dim)
 
@@ -141,15 +160,36 @@ class KHGRecModule(nn.Module):
         return u_cf, i_cf, ent_kg, u_kg, i_kg, fused
 
 
-@register_model("KHGRec")
-def build_khgrec(cfg: Config, cf: CFDeviceData, kg: KGDeviceData) -> ModelBundle:
-    assert kg is not None, "KHGRec requires knowledge data (use_knowledge=true)"
-    use_ssl = cfg.mode in ("full", "woatt", "wo_attention")
-    use_att = cfg.mode in ("full", "wossl", "wo_ssl")
-    module = KHGRecModule(
-        kg.n_entities, kg.n_relations, cf.n_users,
-        cfg.hyper_dim, cfg.relation_dim, cfg.n_layers, cfg.p,
-    )
+def _build_khgrec_like(
+    name: str,
+    use_self_att: bool = False,
+    force_no_ssl: bool = False,
+    hyper_from_mode: bool = False,
+):
+    """Factory covering the KHGRec skeleton family:
+      KHGRec       (KHGRec.py)       — no self-att, SSL per mode
+      HGNN         (HGNN_cp.py:26)   — self-att CF encoder + SSL
+      HD2          (HD2.py:395-421)  — self-att CF encoder, no SSL
+      HGNNAblation (HGNNAblation.py:490-510) — mode 'wohyper' swaps the
+                    two-hop HGCNConv for a one-hop GCN
+    """
+
+    def builder(cfg: Config, cf: CFDeviceData, kg: KGDeviceData) -> ModelBundle:
+        assert kg is not None, f"{name} requires knowledge data (use_knowledge=true)"
+        use_ssl = (not force_no_ssl) and cfg.mode in ("full", "woatt", "wo_attention")
+        use_att = cfg.mode in ("full", "wossl", "wo_ssl")
+        use_hyper = (cfg.mode != "wohyper") if hyper_from_mode else True
+        module = KHGRecModule(
+            kg.n_entities, kg.n_relations, cf.n_users,
+            cfg.hyper_dim, cfg.relation_dim, cfg.n_layers, cfg.p,
+            use_self_att, use_hyper,
+        )
+        return _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att)
+
+    return builder
+
+
+def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
     keep = 1.0 - cfg.drop_rate
 
     def init(rng):
@@ -224,7 +264,13 @@ def build_khgrec(cfg: Config, cf: CFDeviceData, kg: KGDeviceData) -> ModelBundle
         return u_cf, fused
 
     return ModelBundle(
-        name="KHGRec", cfg=cfg, cf=cf, kg=kg, uses_kg=True,
+        name=name, cfg=cfg, cf=cf, kg=kg, uses_kg=True,
         init=init, batch_loss=batch_loss, encode_eval=encode_eval,
         update_extras=update_extras,
     )
+
+
+register_model("KHGRec")(_build_khgrec_like("KHGRec"))
+register_model("HGNN")(_build_khgrec_like("HGNN", use_self_att=True))
+register_model("HD2")(_build_khgrec_like("HD2", use_self_att=True, force_no_ssl=True))
+register_model("HGNNAblation")(_build_khgrec_like("HGNNAblation", hyper_from_mode=True))

@@ -239,6 +239,79 @@ class EquivSetGNN(nn.Module):
         return x
 
 
+class EquivSetGNNScatter(nn.Module):
+    """ED-HNN wrapper around the scatter-form conv, for RECTANGULAR
+    incidences (vertices x hyperedges) — the DHCF_diffusion channels
+    (DHCF_diffusion.py:171-185, intended call: x = embeddings,
+    incidence = raw U x I interaction matrix; the reference's actual
+    call swaps the arguments and crashes at HEAD — survey 7.4)."""
+
+    dim: int
+    n_edges: int
+    n_conv_layers: int = 1
+    input_dropout: float = 0.6
+    dropout: float = 0.5
+    alpha: float = 0.0
+    aggr: str = "mean"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, inc: AdjPair, train: bool = False) -> jnp.ndarray:
+        x = nn.Dropout(self.input_dropout, deterministic=not train)(x)
+        x = nn.relu(nn.Dense(self.dim)(x))
+        x0 = x
+        conv = EquivSetConvScatter(
+            self.dim, n_edges=self.n_edges, aggr=self.aggr,
+            mlp1_layers=0, mlp2_layers=0, mlp3_layers=1,
+            alpha=self.alpha, dropout=self.dropout,
+            normalization="ln", input_norm=True,
+        )
+        for _ in range(self.n_conv_layers):
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = nn.relu(conv(x, inc, x0, train))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DenseEquivSetGNN(nn.Module):
+    """ED-HNN over a DENSE LEARNABLE incidence H [V, E] (HCCF_diffusion's
+    hyperedge branch, HCCF_diffusion.py:193-211 + 291-317).
+
+    The reference extracts V/E index lists from `nonzero(H > 0)` each
+    forward — a dynamic-shape op. TPU-first equivalent: the mask
+    M = (H > 0) is kept dense and the mean-scatters become two masked
+    dense matmuls (E is small, e.g. 128 — MXU-friendly):
+        Xe = (M^T @ W1(X)) / colsum(M)
+        Xv = (M  @ Xe)     / rowsum(M)
+    which is exactly scatter-mean over the positive entries.
+    """
+
+    dim: int
+    input_dropout: float = 0.6
+    dropout: float = 0.5
+    alpha: float = 0.0
+    n_conv_layers: int = 1
+    mlp3_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, incidence: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        mask = (incidence > 0).astype(x.dtype)  # [V, E]
+        col = jnp.maximum(jnp.sum(mask, axis=0), 1.0)  # [E]
+        row = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # [V, 1]
+
+        x = nn.Dropout(self.input_dropout, deterministic=not train)(x)
+        x = nn.relu(nn.Dense(self.dim)(x))
+        x0 = x
+        mlp3 = MLP(self.dim, self.dim, self.mlp3_layers, self.dropout, "ln", True)
+        for _ in range(self.n_conv_layers):
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            xe = (mask.T @ x) / col[:, None]
+            xv = (mask @ xe) / row
+            x = (1.0 - self.alpha) * xv + self.alpha * x0
+            x = nn.relu(mlp3(x, train))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
 class HWNNLayer(nn.Module):
     """Hypergraph wavelet conv with Chebyshev-style K1/K2 polynomial
     approximation (model/layers/wavelet.py:109-154):
