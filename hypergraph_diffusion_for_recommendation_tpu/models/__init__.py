@@ -14,5 +14,6 @@ from . import khgrec  # noqa: F401  (also registers HGNN, HD2, HGNNAblation)
 from . import hccf_diffusion  # noqa: F401
 from . import dhcf_diffusion  # noqa: F401
 from . import autocf  # noqa: F401  (also registers LRMRec)
+from . import sasrec  # noqa: F401  (also registers CL4SRec)
 
 __all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]

@@ -61,6 +61,10 @@ class ModelBundle:
     alternating: bool = False
     # (params, extras, kg_batch, rng) -> (loss, aux) for the KG phase
     kg_batch_loss: Optional[Callable] = None
+    # sequential models carry padded sequence arrays and switch the
+    # trainer to windowed batches (base/seq_recommender.py lifecycle)
+    seq: Any = None
+    batch_kind: str = "pairwise"  # 'pairwise' | 'sequence'
 
 
 MODEL_REGISTRY: dict[str, Callable[..., ModelBundle]] = {}

@@ -45,9 +45,11 @@ def l2_reg_loss_sq(reg: float, *embs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    # Matches torch F.normalize(p=2, dim=1): clamp_min on the norm.
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    # Matches torch F.normalize(p=2, dim=1) (clamp_min on the norm) but
+    # written as x * rsqrt(sum_sq + eps^2) so the gradient at x == 0 is
+    # zero instead of NaN (jnp.linalg.norm has a NaN grad at the origin).
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def info_nce(view1: jnp.ndarray, view2: jnp.ndarray, temperature: float, b_cos: bool = True) -> jnp.ndarray:

@@ -98,10 +98,40 @@ class Trainer:
         cf = bundle.cf
         opt = self.opt
 
+        def step(carry, xs):
+            params, opt_state, extras = carry
+            batch, srng = xs[:-1], xs[-1]
+            k_up, k_loss = jax.random.split(srng)
+            if bundle.update_extras is not None:
+                extras = bundle.update_extras(params, extras, batch, k_up)
+            (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
+                params, extras, batch, k_loss
+            )
+            if bundle.grad_clip_norm is not None:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, bundle.grad_clip_norm / (gnorm + 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, extras), (loss, aux)
+
+        def scan_steps(params, opt_state, extras, batches, step_rngs):
+            (params, opt_state, extras), (losses, auxes) = jax.lax.scan(
+                step, (params, opt_state, extras), batches + (step_rngs,)
+            )
+            mean_aux = jax.tree.map(jnp.mean, auxes)
+            return params, opt_state, extras, jnp.mean(losses), mean_aux
+
         def epoch_fn(params, opt_state, extras, rng):
             k_cf, k_kg, k_steps, k_setup = jax.random.split(rng, 4)
             if bundle.epoch_setup is not None:
                 extras = bundle.epoch_setup(params, extras, k_setup)
+            if bundle.batch_kind == "sequence":
+                batches = _sequence_epoch_batches(
+                    k_cf, bundle.seq, cfg.batch_size, cfg.neg_resample_rounds
+                )
+                step_rngs = jax.random.split(k_steps, batches[0].shape[0])
+                return scan_steps(params, opt_state, extras, batches, step_rngs)
             users, pos, neg = epoch_pairwise_batches(
                 k_cf, cf.edge_u, cf.edge_i, cf.rated_pad, cf.n_items,
                 cfg.batch_size, cfg.neg_resample_rounds,
@@ -118,29 +148,7 @@ class Trainer:
             else:
                 batches = (users, pos, neg)
             step_rngs = jax.random.split(k_steps, n_batches)
-
-            def step(carry, xs):
-                params, opt_state, extras = carry
-                batch, srng = xs[:-1], xs[-1]
-                k_up, k_loss = jax.random.split(srng)
-                if bundle.update_extras is not None:
-                    extras = bundle.update_extras(params, extras, batch, k_up)
-                (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
-                    params, extras, batch, k_loss
-                )
-                if bundle.grad_clip_norm is not None:
-                    gnorm = optax.global_norm(grads)
-                    scale = jnp.minimum(1.0, bundle.grad_clip_norm / (gnorm + 1e-6))
-                    grads = jax.tree.map(lambda g: g * scale, grads)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, extras), (loss, aux)
-
-            (params, opt_state, extras), (losses, auxes) = jax.lax.scan(
-                step, (params, opt_state, extras), batches + (step_rngs,)
-            )
-            mean_aux = jax.tree.map(jnp.mean, auxes)
-            return params, opt_state, extras, jnp.mean(losses), mean_aux
+            return scan_steps(params, opt_state, extras, batches, step_rngs)
 
         return epoch_fn
 
@@ -343,6 +351,37 @@ class Trainer:
         if artifacts is not None:
             artifacts.finish(result)
         return result
+
+
+def _sequence_epoch_batches(rng, seq_data, batch_size, rounds):
+    """Shuffled sequence-window batches + per-position negatives
+    (next_batch_sequence, util/sampler.py:292-320; negatives redrawn
+    rejection-free against the user's 1-based history)."""
+    from ..ops.sampling import sample_negatives
+
+    n = seq_data.seq.shape[0]
+    n_batches = -(-n // batch_size)
+    total = n_batches * batch_size
+    k_perm, k_neg = jax.random.split(rng)
+    perm = jax.random.permutation(k_perm, n)
+    idx = jnp.concatenate([perm, perm[: total - n]])
+    seq = seq_data.seq[idx].reshape(n_batches, batch_size, -1)
+    pos = seq_data.pos[idx].reshape(n_batches, batch_size, -1)
+    y = seq_data.y[idx].reshape(n_batches, batch_size, -1)
+    valid = seq_data.seq_valid[idx].reshape(n_batches, batch_size)
+    users = seq_data.seq_user[idx]
+    L = seq.shape[-1]
+    flat_users = jnp.repeat(users, L)
+    # negatives are 1-based: draw 0-based then shift
+    negs0 = sample_negatives(
+        k_neg, flat_users,
+        seq_data.rated_pad_1b - 1,  # membership table back to 0-based
+        seq_data.n_items, rounds,
+    )
+    neg = (negs0 + 1).reshape(n_batches, batch_size, L)
+    # zero out padded positions so they never contribute
+    neg = jnp.where(y > 0, neg, 0)
+    return seq, pos, y, neg, valid
 
 
 def _early_stopping(recall_list, stopping_steps):
