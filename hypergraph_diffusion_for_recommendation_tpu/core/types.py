@@ -35,6 +35,10 @@ class SparseCOO:
     nrows: int = struct.field(pytree_node=False)
     ncols: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)  # true (unpadded) count
+    # optional pallas fast-path layout (ops/pallas/segment_spmm.py);
+    # `vals` above stays authoritative — the kernel re-gathers them via
+    # blocked.src, so dropout masks on `vals` flow through unchanged
+    blocked: object = None
 
     @property
     def shape(self) -> tuple[int, int]:

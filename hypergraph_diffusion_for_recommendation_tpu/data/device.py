@@ -38,6 +38,23 @@ class AdjPair:
         return self.replace(fwd=fwd, bwd=bwd)
 
 
+PALLAS_MIN_NNZ = 32768
+
+
+def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals) -> SparseCOO:
+    """Attach the pallas row-window layout on TPU for large matrices.
+
+    Packs from the HOST-side arrays: a device->host round trip over the
+    remote-TPU tunnel is orders of magnitude slower than H2D.
+    """
+    if jax.default_backend() != "tpu" or sp.nnz < PALLAS_MIN_NNZ:
+        return sp
+    from ..ops.pallas.segment_spmm import pack_blocked
+
+    blocked = pack_blocked(h_rows, h_cols, h_vals, sp.shape)
+    return sp.replace(blocked=blocked)
+
+
 def make_adj_pair(rows, cols, vals, shape, pad_multiple: int = 8) -> AdjPair:
     """Build fwd + transpose structure + linking permutation (host-side)."""
     rows = np.asarray(rows, np.int64)
@@ -68,7 +85,11 @@ def make_adj_pair(rows, cols, vals, shape, pad_multiple: int = 8) -> AdjPair:
         rows=jnp.asarray(b_rows), cols=jnp.asarray(b_cols), vals=jnp.asarray(b_vals),
         nrows=int(shape[1]), ncols=int(shape[0]), nnz=int(nnz),
     )
-    return AdjPair(fwd=fwd, bwd=bwd, t_perm=jnp.asarray(t_perm))
+    return AdjPair(
+        fwd=_maybe_attach_blocked(fwd, f_rows, f_cols, f_vals),
+        bwd=_maybe_attach_blocked(bwd, b_rows, b_cols, b_vals),
+        t_perm=jnp.asarray(t_perm),
+    )
 
 
 def adj_pair_from_scipy(mat, pad_multiple: int = 8) -> AdjPair:

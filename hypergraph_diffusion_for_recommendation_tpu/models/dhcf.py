@@ -22,7 +22,7 @@ from flax import linen as nn
 from ..core.config import Config
 from ..data.device import CFDeviceData
 from ..ops.losses import bpr_loss, l2_reg_loss
-from ..ops.sparse import spmm
+from ..ops.sparse import two_hop
 from .base import ModelBundle, register_model
 from .layers import leaky
 
@@ -41,8 +41,8 @@ class DHCFModule(nn.Module):
         user_embeds = [u]
         item_embeds = [i]
         for _ in range(self.n_layers):
-            hu = leaky(spmm(cf.raw_int.fwd, spmm(cf.raw_int.bwd, u)), self.slope)
-            hi = leaky(spmm(cf.raw_int.bwd, spmm(cf.raw_int.fwd, i)), self.slope)
+            hu = leaky(two_hop(cf.raw_int.fwd, cf.raw_int.bwd, u), self.slope)
+            hi = leaky(two_hop(cf.raw_int.bwd, cf.raw_int.fwd, i), self.slope)
             user_embeds.append(hu)
             item_embeds.append(hi)
         return jnp.concatenate(user_embeds, axis=1), jnp.concatenate(item_embeds, axis=1)

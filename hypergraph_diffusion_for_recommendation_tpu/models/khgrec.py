@@ -43,6 +43,7 @@ from ..ops.losses import bpr_loss, contrast_loss_masked, l2_reg_loss, unique_mas
 from .base import ModelBundle, register_model
 from .kg_common import att_matvec, att_matvec_t, attention_softmax, attention_values
 from .layers import AttentionFusion, hgcn_conv
+from ..ops import sparse as _sp
 from ..ops.sparse import spmm
 
 
@@ -57,7 +58,7 @@ class SelfAwareEncoder(nn.Module):
     @nn.compact
     def __call__(self, ego, adj, train: bool = False):
         from .layers import SelfAttentionBlock
-        from ..ops.sparse import spmm as _spmm
+        from ..ops.sparse import spmm_pair as _spmm_pair
 
         res = ego
         for k in range(self.n_layers):
@@ -67,7 +68,7 @@ class SelfAwareEncoder(nn.Module):
             if self.use_hyper:
                 conv = hgcn_conv(adj, ego, self.slope, act=act)
             else:
-                conv = _spmm(adj.fwd, ego)
+                conv = _spmm_pair(adj.fwd, adj.bwd, ego)
                 if act:
                     conv = jax.nn.leaky_relu(conv, self.slope)
             ego = nn.LayerNorm()(conv) + res
@@ -87,8 +88,8 @@ class RelationalAwareEncoder(nn.Module):
         def att_conv(x, act: bool):
             # M (M^T x) with M = A_att K: A_att K K^T A_att^T x
             y = att_matvec_t(att_h, att_t, att_v, x, n)
-            y = spmm(kg_adj.bwd, y)
-            y = spmm(kg_adj.fwd, y)
+            y = _sp.spmm_pair(kg_adj.bwd, kg_adj.fwd, y)
+            y = _sp.spmm_pair(kg_adj.fwd, kg_adj.bwd, y)
             y = att_matvec(att_h, att_t, att_v, y, n)
             return jax.nn.leaky_relu(y, self.slope) if act else y
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.device import AdjPair
-from ..ops.sparse import spmm
+from ..ops.sparse import spmm, spmm_pair, two_hop as _two_hop
 
 
 def leaky(x: jnp.ndarray, slope: float) -> jnp.ndarray:
@@ -25,13 +25,13 @@ def leaky(x: jnp.ndarray, slope: float) -> jnp.ndarray:
 def hgcn_conv(adj: AdjPair, x: jnp.ndarray, slope: float = 0.3, act: bool = True) -> jnp.ndarray:
     """act(A @ (A^T @ X)) — the ubiquitous two-hop hypergraph conv
     (reference HGCNConv, KHGRec.py:455-464 and ~10 duplicates)."""
-    out = spmm(adj.fwd, spmm(adj.bwd, x))
+    out = _two_hop(adj.fwd, adj.bwd, x)
     return leaky(out, slope) if act else out
 
 
 def gcn_prop(adj: AdjPair, x: jnp.ndarray) -> jnp.ndarray:
     """One-hop propagation A @ X (LightGCN.py:133, HCCF GCNLayer)."""
-    return spmm(adj.fwd, x)
+    return spmm_pair(adj.fwd, adj.bwd, x)
 
 
 class MLP(nn.Module):
@@ -352,8 +352,8 @@ class HWNNLayer(nn.Module):
 
         def theta(v: jnp.ndarray) -> jnp.ndarray:
             if self.side in ("u", "adj"):
-                return spmm(b_hyper.fwd, spmm(b_hyper.bwd, v))
-            return spmm(b_hyper.bwd, spmm(b_hyper.fwd, v))
+                return _two_hop(b_hyper.fwd, b_hyper.bwd, v)
+            return _two_hop(b_hyper.bwd, b_hyper.fwd, v)
 
         # y = poly_t(Theta) X  (Theta symmetric -> Theta^T == Theta)
         y = par[self.k1] * x

@@ -11,7 +11,7 @@ from flax import linen as nn
 from ..core.config import Config
 from ..data.device import CFDeviceData
 from ..ops.losses import bpr_loss, l2_reg_loss
-from ..ops.sparse import spmm
+from ..ops.sparse import spmm_pair
 from .base import ModelBundle, register_model
 
 
@@ -30,7 +30,7 @@ class LightGCNModule(nn.Module):
         # (LightGCN.py:129-140)
         outs = [ego]
         for _ in range(self.n_layers):
-            ego = spmm(cf.adj.fwd, ego)
+            ego = spmm_pair(cf.adj.fwd, cf.adj.bwd, ego)
             outs.append(ego)
         all_emb = jnp.mean(jnp.stack(outs, axis=1), axis=1)
         return all_emb[: self.n_users], all_emb[self.n_users :]

@@ -20,7 +20,7 @@ from flax import linen as nn
 from ..core.config import Config
 from ..data.device import CFDeviceData
 from ..ops.losses import bpr_loss
-from ..ops.sparse import spmm
+from ..ops.sparse import spmm_pair
 from .base import ModelBundle, register_model
 
 
@@ -40,7 +40,7 @@ class SHTModule(nn.Module):
         ego = jnp.concatenate([u, i], axis=0)
         lats = [ego]
         for _ in range(self.n_layers):
-            lats.append(spmm(cf.adj.fwd, lats[-1]))
+            lats.append(spmm_pair(cf.adj.fwd, cf.adj.bwd, lats[-1]))
         embeds = sum(lats)
         base = jax.lax.stop_gradient(embeds)  # detach (:202-204)
         hyper_u = base[: self.n_users] @ (u_hyper.T @ u_hyper)

@@ -29,7 +29,7 @@ from ..ops.losses import (
     l2_reg_loss,
     unique_mask,
 )
-from ..ops.sparse import spmm
+from ..ops.sparse import spmm, spmm_pair as _spmm_pair
 from .base import ModelBundle, register_model
 
 
@@ -52,7 +52,7 @@ def _lightgcn_forward(cf: CFDeviceData, u, i, n_layers, noise_rng=None, eps=0.0)
     outs = [ego]
     rngs = jax.random.split(noise_rng, n_layers) if noise_rng is not None else [None] * n_layers
     for k in range(n_layers):
-        ego = spmm(cf.adj.fwd, ego)
+        ego = _spmm_pair(cf.adj.fwd, cf.adj.bwd, ego)
         if rngs[k] is not None:
             noise = jax.random.uniform(rngs[k], ego.shape)
             noise = noise * jax.lax.rsqrt(jnp.maximum(jnp.sum(noise**2, 1, keepdims=True), 1e-12))

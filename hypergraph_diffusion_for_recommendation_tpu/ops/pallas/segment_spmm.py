@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: segment-sum SpMM over padded sorted COO.
+
+The diffusion hot op (survey 2.9): out = A @ X with A in row-sorted
+COO. XLA lowers `segment_sum` to a scatter-add, which serialises on
+TPU. This kernel removes the scatter entirely:
+
+  * the row space is tiled into fixed windows of ROW_BLOCK rows;
+  * each window's edges are chunked into blocks of EDGE_BLOCK (padded;
+    empty windows get one all-pad block so every output tile is
+    written);
+  * per grid step, the kernel computes
+        partial = onehot(local_rows)^T @ G
+    as an [EDGE_BLOCK, ROW_BLOCK] x [EDGE_BLOCK, d] MXU contraction,
+    where G = vals * X[cols] is gathered by XLA OUTSIDE the kernel
+    (TPU gathers are fast; scatters are not) and the one-hot comes
+    from an in-register iota compare;
+  * consecutive blocks of the same window hit the same output tile —
+    Pallas keeps it resident in VMEM and the kernel accumulates, so
+    the result lands directly in [n_windows * ROW_BLOCK, d] with no
+    combine pass.
+
+Interpret mode runs the identical kernel on CPU for unit tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from flax import struct
+
+EDGE_BLOCK = 1024
+ROW_BLOCK = 256
+
+
+@struct.dataclass
+class BlockedCOO:
+    """Row-window aligned edge-block layout."""
+
+    cols: jnp.ndarray  # [n_blocks, EDGE_BLOCK] int32 (pad 0 with val 0)
+    vals: jnp.ndarray  # [n_blocks, EDGE_BLOCK] f32
+    local_rows: jnp.ndarray  # [n_blocks, EDGE_BLOCK] int32 in [0, ROW_BLOCK); pad = ROW_BLOCK
+    wmap: jnp.ndarray  # [n_blocks] int32 window id of each block (non-decreasing)
+    src: jnp.ndarray  # [n_blocks, EDGE_BLOCK] int32 index into the source
+    # padded-COO value array (pads point anywhere: local_row==ROW_BLOCK
+    # already excludes them) — lets callers re-gather CURRENT values so
+    # edge dropout / on-device renormalisation compose with the kernel
+    nrows: int = struct.field(pytree_node=False)
+    ncols: int = struct.field(pytree_node=False)
+    n_blocks: int = struct.field(pytree_node=False)
+    n_windows: int = struct.field(pytree_node=False)
+
+
+def pack_blocked(rows, cols, vals, shape) -> BlockedCOO:
+    """Host-side packing of sorted COO into row-window edge blocks.
+
+    `rows` may include pad entries (row == shape[0]); live edges must be
+    sorted by row. `src` records each packed slot's index in the INPUT
+    arrays so current (possibly masked) values can be re-gathered.
+    """
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    live_idx = np.nonzero(rows < shape[0])[0]
+    rows_l, cols_l, vals_l = rows[live_idx], cols[live_idx], vals[live_idx]
+
+    n_windows = max(-(-shape[0] // ROW_BLOCK), 1)
+    starts = np.searchsorted(rows_l, np.arange(n_windows) * ROW_BLOCK, side="left")
+    ends = np.append(starts[1:], rows_l.shape[0])
+
+    blk_cols, blk_vals, blk_lrows, blk_src, wmap = [], [], [], [], []
+    for w in range(n_windows):
+        lo, hi = int(starts[w]), int(ends[w])
+        n_w = hi - lo
+        n_blk = max(-(-n_w // EDGE_BLOCK), 1)  # >= 1 so the tile is written
+        for b in range(n_blk):
+            s = lo + b * EDGE_BLOCK
+            e = min(s + EDGE_BLOCK, hi)
+            n = max(e - s, 0)
+            pad = EDGE_BLOCK - n
+            blk_cols.append(np.concatenate([cols_l[s:e], np.zeros(pad, np.int64)]))
+            blk_vals.append(np.concatenate([vals_l[s:e], np.zeros(pad, np.float32)]))
+            blk_lrows.append(
+                np.concatenate(
+                    [rows_l[s:e] - w * ROW_BLOCK, np.full(pad, ROW_BLOCK, np.int64)]
+                )
+            )
+            blk_src.append(np.concatenate([live_idx[s:e], np.zeros(pad, np.int64)]))
+            wmap.append(w)
+    return BlockedCOO(
+        cols=jnp.asarray(np.stack(blk_cols).astype(np.int32)),
+        vals=jnp.asarray(np.stack(blk_vals).astype(np.float32)),
+        local_rows=jnp.asarray(np.stack(blk_lrows).astype(np.int32)),
+        wmap=jnp.asarray(np.asarray(wmap, np.int32)),
+        src=jnp.asarray(np.stack(blk_src).astype(np.int32)),
+        nrows=int(shape[0]),
+        ncols=int(shape[1]),
+        n_blocks=len(wmap),
+        n_windows=n_windows,
+    )
+
+
+def _segment_matmul_kernel(wmap_ref, lrows_ref, g_ref, out_ref):
+    b = pl.program_id(0)
+    lrows = lrows_ref[0]  # [EDGE_BLOCK, 1] (trailing 1 satisfies TPU tiling)
+    g = g_ref[0]  # [EDGE_BLOCK, d]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, ROW_BLOCK), 1)
+    onehot = (lrows == row_ids).astype(g.dtype)  # [E,1] vs [E,R]: pads match nothing
+    partial_out = jax.lax.dot_general(
+        onehot, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # exact f32 (3-pass MXU): matches the XLA path bit-for-bit-ish
+        # and still beats the scatter lowering
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    is_first = b == 0
+    prev_idx = jnp.maximum(b - 1, 0)
+    new_window = jnp.logical_or(is_first, wmap_ref[b] != wmap_ref[prev_idx])
+
+    @pl.when(new_window)
+    def _():
+        out_ref[0] = partial_out
+
+    @pl.when(jnp.logical_not(new_window))
+    def _():
+        out_ref[0] = out_ref[0] + partial_out
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _packed_vals(blocked: BlockedCOO, vals: jnp.ndarray | None) -> jnp.ndarray:
+    if vals is None:
+        return blocked.vals.reshape(-1)
+    live = blocked.local_rows.reshape(-1) < ROW_BLOCK
+    return jnp.where(live, vals[blocked.src.reshape(-1)], 0.0)
+
+
+def _global_rows(blocked: BlockedCOO) -> jnp.ndarray:
+    lr = blocked.local_rows.reshape(-1)
+    w = jnp.repeat(blocked.wmap, EDGE_BLOCK)
+    return jnp.where(lr < ROW_BLOCK, w * ROW_BLOCK + lr, blocked.nrows)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _blocked_spmm_fwd_only(
+    blocked: BlockedCOO,
+    x: jnp.ndarray,
+    vals: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """A @ X via the pallas row-window segment matmul (no autodiff).
+
+    `vals`: current value array of the SOURCE padded COO (e.g. after
+    edge dropout); when given it is routed through `src` so the kernel
+    sees up-to-date weights. Defaults to the packed snapshot.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    nb = blocked.n_blocks
+    d = x.shape[1]
+    v = _packed_vals(blocked, vals)
+    gathered = x[blocked.cols.reshape(-1)] * v[:, None].astype(x.dtype)
+    gathered = gathered.reshape(nb, EDGE_BLOCK, d).astype(jnp.float32)
+
+    lrows = blocked.local_rows.reshape(nb, EDGE_BLOCK, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            # trailing singleton dim satisfies the TPU block-tiling rule
+            pl.BlockSpec((1, EDGE_BLOCK, 1), lambda b, wmap: (b, 0, 0)),
+            pl.BlockSpec((1, EDGE_BLOCK, d), lambda b, wmap: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ROW_BLOCK, d), lambda b, wmap: (wmap[b], 0, 0)),
+    )
+    out = pl.pallas_call(
+        _segment_matmul_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((blocked.n_windows, ROW_BLOCK, d), jnp.float32),
+        interpret=interpret,
+    )(blocked.wmap, lrows, gathered)
+    return out.reshape(-1, d)[: blocked.nrows].astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def blocked_spmm(blocked: BlockedCOO, x: jnp.ndarray, vals: jnp.ndarray | None = None,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """Differentiable A @ X on the pallas kernel.
+
+    Forward runs the MXU segment-matmul kernel; the backward pass uses
+    XLA segment ops (dx = A^T g via a col-segment reduction, dvals from
+    per-edge row/col gathers scattered back through `src`). Integer
+    layout arrays get zero cotangents.
+    """
+    return _blocked_spmm_fwd_only(blocked, x, vals, interpret=interpret)
+
+
+def _spmm_vjp_fwd(blocked, x, vals, interpret):
+    y = _blocked_spmm_fwd_only(blocked, x, vals, interpret=interpret)
+    return y, (blocked, x, vals)
+
+
+def _spmm_vjp_bwd(res, g):
+    blocked, x, vals = res
+    v = _packed_vals(blocked, vals)
+    rows_g = _global_rows(blocked)
+    cols = blocked.cols.reshape(-1)
+    g_rows = g[jnp.clip(rows_g, 0, blocked.nrows - 1)]
+    live = (blocked.local_rows.reshape(-1) < ROW_BLOCK)[:, None].astype(g.dtype)
+    g_rows = g_rows * live
+    # dx[c] = sum_e vals[e] * g[row_e]
+    dx = jax.ops.segment_sum(g_rows * v[:, None].astype(g.dtype), cols,
+                             num_segments=x.shape[0])
+    dvals = None
+    if vals is not None:
+        dv_packed = jnp.sum(g_rows * x[cols], axis=-1)
+        dvals = jnp.zeros_like(vals).at[blocked.src.reshape(-1)].add(
+            dv_packed * live[:, 0], mode="drop"
+        )
+    zero_blocked = jax.tree.map(lambda a: None, blocked)
+    return (None, dx.astype(x.dtype), dvals, None)
+
+
+blocked_spmm.defvjp(_spmm_vjp_fwd, _spmm_vjp_bwd)

