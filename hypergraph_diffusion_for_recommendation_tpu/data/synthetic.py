@@ -71,6 +71,7 @@ def generate_kg(
     n_relations: int = 4,
     seed: int = 11,
     cluster_seed: int = 7,
+    max_triples_per_item: int = 3,
 ) -> pd.DataFrame:
     """Item->attribute triples; attributes encode (noisy) cluster identity.
 
@@ -83,7 +84,7 @@ def generate_kg(
     n_attrs = n_clusters * n_attrs_per_cluster
     triples = []
     for i in range(n_items):
-        k = rng.integers(1, 4)
+        k = rng.integers(1, max_triples_per_item + 1)
         for _ in range(k):
             # mostly own-cluster attributes, some noise
             c = item_cluster[i] if rng.random() < 0.8 else rng.integers(0, n_clusters)

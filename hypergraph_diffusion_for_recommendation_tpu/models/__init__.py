@@ -16,5 +16,6 @@ from . import dhcf_diffusion  # noqa: F401
 from . import autocf  # noqa: F401  (also registers LRMRec)
 from . import sasrec  # noqa: F401  (also registers CL4SRec)
 from . import ssl_family  # noqa: F401  (DirectAU/SimGCL/XSimGCL/NCL/MixGCF/SSL4Rec)
+from . import social_models  # noqa: F401  (MHCN/SEPT)
 
 __all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]

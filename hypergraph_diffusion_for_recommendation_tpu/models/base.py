@@ -78,9 +78,19 @@ def register_model(name: str):
     return deco
 
 
-def build_model(cfg: Config, cf: CFDeviceData, kg: Optional[KGDeviceData] = None) -> ModelBundle:
+def build_model(
+    cfg: Config,
+    cf: CFDeviceData,
+    kg: Optional[KGDeviceData] = None,
+    social: Any = None,
+) -> ModelBundle:
     if cfg.model not in MODEL_REGISTRY:
         raise ValueError(
             f"Unknown model {cfg.model!r}. Registered: {sorted(MODEL_REGISTRY)}"
         )
-    return MODEL_REGISTRY[cfg.model](cfg, cf, kg)
+    import inspect
+
+    fn = MODEL_REGISTRY[cfg.model]
+    if "social" in inspect.signature(fn).parameters:
+        return fn(cfg, cf, kg, social=social)
+    return fn(cfg, cf, kg)
