@@ -130,6 +130,7 @@ MODEL_DEFAULTS: dict[str, dict[str, Any]] = {
     "KGIN": dict(use_knowledge=True),
     "KGCL": dict(use_knowledge=True, cl_rate=0.1, temp=0.2),
     "KTUP": dict(use_knowledge=True),
+    "HKGRippleNet": dict(use_knowledge=True),
     "SimGCL": dict(cl_rate=0.1, temp=0.2, reg=0.1),
     "XSimGCL": dict(cl_rate=0.1, temp=0.2, reg=0.1),
     "NCL": dict(cl_rate=0.1, temp=0.2, reg=0.1),

@@ -17,5 +17,7 @@ from . import autocf  # noqa: F401  (also registers LRMRec)
 from . import sasrec  # noqa: F401  (also registers CL4SRec)
 from . import ssl_family  # noqa: F401  (DirectAU/SimGCL/XSimGCL/NCL/MixGCF/SSL4Rec)
 from . import social_models  # noqa: F401  (MHCN/SEPT)
+from . import kgin_kgcl  # noqa: F401
+from . import ktup_ripplenet  # noqa: F401  (KTUP/HKGRippleNet)
 
 __all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]
