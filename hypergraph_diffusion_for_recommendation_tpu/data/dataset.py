@@ -93,8 +93,16 @@ def build_interaction(train_pairs: np.ndarray, test_pairs: np.ndarray) -> Intera
     train_pairs = np.asarray(train_pairs)[:, :2].astype(np.int64)
     test_pairs = np.asarray(test_pairs)[:, :2].astype(np.int64) if len(test_pairs) else np.zeros((0, 2), np.int64)
 
-    train_u_dense, uniq_users = pd.factorize(train_pairs[:, 0])
-    train_i_dense, uniq_items = pd.factorize(train_pairs[:, 1])
+    from ..native import factorize as native_factorize
+
+    fu = native_factorize(train_pairs[:, 0])
+    fi = native_factorize(train_pairs[:, 1])
+    if fu is not None and fi is not None:
+        train_u_dense, uniq_users = fu
+        train_i_dense, uniq_items = fi
+    else:
+        train_u_dense, uniq_users = pd.factorize(train_pairs[:, 0])
+        train_i_dense, uniq_items = pd.factorize(train_pairs[:, 1])
     train_u_dense = train_u_dense.astype(np.int32)
     train_i_dense = train_i_dense.astype(np.int32)
     n_users = len(uniq_users)

@@ -17,7 +17,16 @@ import pandas as pd
 
 
 def load_data_set(path: str) -> np.ndarray:
-    """Load interactions -> int64 array [n, 2] of (user, item) raw ids."""
+    """Load interactions -> int64 array [n, 2] of (user, item) raw ids.
+
+    Uses the native mmap parser (native/fastload.cpp) when the shared
+    library builds; falls back to pandas.
+    """
+    from ..native import load_interactions
+
+    native = load_interactions(path)
+    if native is not None:
+        return native
     with open(path) as f:
         first = f.readline()
         sep = "\t" if "\t" in first else ","
