@@ -248,6 +248,15 @@ class Trainer:
         aux["train_loss"] = loss
         return loss, aux
 
+    def profile_epoch(self, trace_dir: str, epoch: int = 0) -> tuple[float, dict]:
+        """Run one epoch under jax.profiler tracing (the reference's only
+        profiling is a commented-out torch.profiler block, survey 5).
+        View with tensorboard/xprof on `trace_dir`."""
+        with jax.profiler.trace(trace_dir):
+            out = self.run_epoch(epoch)
+            jax.block_until_ready(jax.tree.leaves(self.params)[0])
+        return out
+
     def evaluate(self) -> dict:
         m = self._eval_fn(self.params, self.extras)
         return metrics_to_host(m, tuple(self.cfg.top_ns))
