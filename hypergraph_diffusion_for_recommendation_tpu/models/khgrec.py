@@ -26,9 +26,10 @@ Parity with reference model/graph/KHGRec.py:
     survey 7.4);
   * modes full / wo_attention / wo_ssl / woglobal (:64-75).
 
-Ordering deviation: the reference scores attention from the kg forward
-under the PREVIOUS attention and applies it next batch (:120-122); we
-refresh attention first (stop-gradient) and use it in the same step.
+Attention ordering matches the reference exactly: each step's kg
+forward (under the previous batch's attention) serves the TransR/SSL
+losses AND scores the attention applied to the NEXT batch
+(:120-126) — one forward, no recomputation.
 """
 
 from __future__ import annotations
@@ -208,20 +209,6 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
     def _att(extras):
         return (extras["att_h"], extras["att_t"], extras["att_v"])
 
-    def update_extras(params, extras, batch, rng):
-        """Rebuild the attention adjacency from the current kg batch
-        (KHGRec.py:309-331), scored on the kg-encoded embeddings."""
-        users, pos, neg, h, r, pt, nt = batch
-        ent_kg = module.apply(
-            params, kg, _att(extras), 1.0, False,
-            method=KHGRecModule.kg_forward,
-        )
-        ent_kg = jax.lax.stop_gradient(ent_kg)
-        p = params["params"]
-        vals = attention_values(ent_kg, p["relation_emb"], p["trans_M"], h, pt, r)
-        att_v = attention_softmax(vals, h, kg.n_entities)
-        return {"att_h": h, "att_t": pt, "att_v": att_v}
-
     def batch_loss(params, extras, batch, rng):
         users, pos, neg, h, r, pt, nt = batch
         k1, k2 = jax.random.split(rng)
@@ -247,7 +234,19 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
         kg_loss = kg_loss + l2_reg_loss(cfg.reg_kg, r_mul_h, r_emb, r_mul_pos, r_mul_neg) / cfg.batch_size_kg
 
         loss = cf_loss + kg_loss
-        aux = {"rec_loss": rec, "cf_loss": cf_loss, "kg_loss": kg_loss}
+        # attention for the NEXT batch, scored from THIS forward's kg
+        # embeddings (reference ordering, KHGRec.py:120-126): one kg
+        # forward serves the losses and the attention refresh
+        ent_sg = jax.lax.stop_gradient(ent_kg)
+        p_sg = jax.lax.stop_gradient(p)
+        vals = attention_values(ent_sg, p_sg["relation_emb"], p_sg["trans_M"], h, pt, r)
+        att_v = attention_softmax(vals, h, kg.n_entities)
+        aux = {
+            "rec_loss": rec,
+            "cf_loss": cf_loss,
+            "kg_loss": kg_loss,
+            "_new_extras": {"att_h": h, "att_t": pt, "att_v": att_v},
+        }
         if use_ssl:
             uu, um = unique_mask(users)
             iu, im = unique_mask(pos)
@@ -267,7 +266,6 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
     return ModelBundle(
         name=name, cfg=cfg, cf=cf, kg=kg, uses_kg=True,
         init=init, batch_loss=batch_loss, encode_eval=encode_eval,
-        update_extras=update_extras,
     )
 
 

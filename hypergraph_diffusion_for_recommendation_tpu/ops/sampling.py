@@ -47,6 +47,29 @@ def sample_negatives(
     return cands
 
 
+def sample_negatives_chunked(
+    rng: jax.Array,
+    users_2d: jnp.ndarray,
+    rated_pad: jnp.ndarray,
+    n_items: int,
+    rounds: int = 8,
+) -> jnp.ndarray:
+    """sample_negatives over [n_chunks, B] rows via lax.map.
+
+    The membership test gathers [B, max_deg] per redraw round; sampling a
+    whole epoch at once would materialise [n_chunks * B, max_deg]
+    (gigabytes for power-law histories at production scale). Mapping per
+    chunk caps the peak at one batch's gather.
+    """
+    keys = jax.random.split(rng, users_2d.shape[0])
+
+    def one(args):
+        k, row = args
+        return sample_negatives(k, row, rated_pad, n_items, rounds)
+
+    return jax.lax.map(one, (keys, users_2d))
+
+
 def epoch_pairwise_batches(
     rng: jax.Array,
     edge_users: jnp.ndarray,
@@ -74,9 +97,7 @@ def epoch_pairwise_batches(
     idx = jnp.concatenate([perm, perm[: total - n]])
     users = edge_users[idx].reshape(n_batches, batch_size)
     pos = edge_items[idx].reshape(n_batches, batch_size)
-    neg = sample_negatives(
-        k_neg, users.reshape(-1), rated_pad, n_items, rounds
-    ).reshape(n_batches, batch_size)
+    neg = sample_negatives_chunked(k_neg, users, rated_pad, n_items, rounds)
     return users, pos, neg
 
 
@@ -145,6 +166,5 @@ def epoch_kg_batches(
     h = heads[idx]
     r = relations[idx]
     pos_t = tails[idx]
-    flat_h = h.reshape(-1)
-    neg_t = sample_negatives(k_neg, flat_h, head_tails_pad, n_entities, rounds)
-    return h, r, pos_t, neg_t.reshape(n_batches, batch_size_kg)
+    neg_t = sample_negatives_chunked(k_neg, h, head_tails_pad, n_entities, rounds)
+    return h, r, pos_t, neg_t

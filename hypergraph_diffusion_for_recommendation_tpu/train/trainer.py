@@ -107,6 +107,11 @@ class Trainer:
             (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
                 params, extras, batch, k_loss
             )
+            # a loss may emit refreshed extras for the NEXT step (KHGRec
+            # scores next-batch attention from the same kg forward the
+            # losses used — exact reference ordering, KHGRec.py:120-126)
+            if isinstance(aux, dict) and "_new_extras" in aux:
+                extras = aux.pop("_new_extras")
             if bundle.grad_clip_norm is not None:
                 gnorm = optax.global_norm(grads)
                 scale = jnp.minimum(1.0, bundle.grad_clip_norm / (gnorm + 1e-6))
