@@ -137,6 +137,8 @@ MODEL_DEFAULTS: dict[str, dict[str, Any]] = {
     "MixGCF": dict(n_layers=2, reg=0.1),
     "SSL4Rec": dict(cl_rate=0.1, temp=0.2),
     "SEPT": dict(cl_rate=0.1),
+    "BUIR": dict(lrate=0.01, reg=0.01),
+    "SelfCF": dict(lrate=0.01, reg=0.01, drop_rate=0.2),
     "MHCN": dict(cl_rate=0.1),
 }
 

@@ -323,3 +323,121 @@ def build_ssl4rec(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
         name="SSL4Rec", cfg=cfg, cf=cf, kg=None, uses_kg=False,
         init=init, batch_loss=batch_loss, encode_eval=encode_eval,
     )
+
+
+# ---------------------------------------------------------------- BUIR
+@register_model("BUIR")
+def build_buir(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
+    """BUIR-ID (bootstrapping user/item representations, negatives-free):
+    online encoder + slowly-moving EMA target encoder; the online
+    predictor regresses each side's target projection (both directions),
+    loss = 2 - 2 * cos. Target tables live in extras and are EMA-updated
+    every step. Registered in the reference's SSL list (main.py:102)
+    without a committed file."""
+    momentum = 0.995
+
+    class Online(nn.Module):
+        @nn.compact
+        def __call__(self):
+            u = self.param("user_emb", nn.initializers.xavier_uniform(), (cf.n_users, cfg.embedding_size))
+            i = self.param("item_emb", nn.initializers.xavier_uniform(), (cf.n_items, cfg.embedding_size))
+            pred = nn.Dense(cfg.embedding_size, name="predictor")
+            return u, i, pred(u), pred(i)
+
+    module = Online()
+
+    def init(rng):
+        params = module.init(rng)
+        u0 = params["params"]["user_emb"]
+        i0 = params["params"]["item_emb"]
+        return params, {"target_u": u0, "target_i": i0}
+
+    def update_extras(params, extras, batch, rng):
+        pu = params["params"]["user_emb"]
+        pi = params["params"]["item_emb"]
+        return {
+            "target_u": momentum * extras["target_u"] + (1 - momentum) * pu,
+            "target_i": momentum * extras["target_i"] + (1 - momentum) * pi,
+        }
+
+    def _cos_reg(pred, target):
+        p = pred * jax.lax.rsqrt(jnp.maximum(jnp.sum(pred**2, -1, keepdims=True), 1e-12))
+        t = target * jax.lax.rsqrt(jnp.maximum(jnp.sum(target**2, -1, keepdims=True), 1e-12))
+        return jnp.mean(2.0 - 2.0 * jnp.sum(p * t, axis=-1))
+
+    def batch_loss(params, extras, batch, rng):
+        users, pos, neg = batch
+        u, i, pu, pi = module.apply(params)
+        tu = jax.lax.stop_gradient(extras["target_u"])
+        ti = jax.lax.stop_gradient(extras["target_i"])
+        loss = _cos_reg(pu[users], ti[pos]) + _cos_reg(pi[pos], tu[users])
+        reg = l2_reg_loss(cfg.reg, u[users], i[pos]) / cfg.batch_size
+        return loss + reg, {"rec_loss": loss}
+
+    def encode_eval(params, extras):
+        u, i, pu, pi = module.apply(params)
+        # score by symmetric online/target cross products (BUIR eq. 7):
+        # folded into single representations u+pred(u), i+pred(i)
+        return u + pu, i + pi
+
+    return ModelBundle(
+        name="BUIR", cfg=cfg, cf=cf, kg=None, uses_kg=False,
+        init=init, batch_loss=batch_loss, encode_eval=encode_eval,
+        update_extras=update_extras,
+    )
+
+
+# ---------------------------------------------------------------- SelfCF
+@register_model("SelfCF")
+def build_selfcf(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
+    """SelfCF-ed (self-supervised CF via output perturbation): one
+    LightGCN encoder, target = edge-dropout-perturbed stop-gradient
+    output, predictor regresses the perturbed view (both sides). No
+    momentum network (SelfCF's simplification of BUIR)."""
+
+    class Enc(nn.Module):
+        @nn.compact
+        def __call__(self, keep_rate: float = 1.0, train: bool = False):
+            u = self.param("user_emb", nn.initializers.xavier_uniform(), (cf.n_users, cfg.embedding_size))
+            i = self.param("item_emb", nn.initializers.xavier_uniform(), (cf.n_items, cfg.embedding_size))
+            adj = cf.adj
+            if train and keep_rate < 1.0:
+                adj = adj.dropped(self.make_rng("edges"), keep_rate)
+            ego = jnp.concatenate([u, i], axis=0)
+            outs = [ego]
+            for _ in range(cfg.n_layers):
+                outs.append(_spmm_pair(adj.fwd, adj.bwd, outs[-1]))
+            emb = jnp.mean(jnp.stack(outs, 1), 1)
+            pred = nn.Dense(cfg.embedding_size, name="predictor")
+            return emb[: cf.n_users], emb[cf.n_users :], pred(emb[: cf.n_users]), pred(emb[cf.n_users :])
+
+    module = Enc()
+
+    def init(rng):
+        return module.init({"params": rng, "edges": rng}), ()
+
+    def _cos_reg(pred, target):
+        p = pred * jax.lax.rsqrt(jnp.maximum(jnp.sum(pred**2, -1, keepdims=True), 1e-12))
+        t = target * jax.lax.rsqrt(jnp.maximum(jnp.sum(target**2, -1, keepdims=True), 1e-12))
+        return jnp.mean(2.0 - 2.0 * jnp.sum(p * t, axis=-1))
+
+    def batch_loss(params, extras, batch, rng):
+        users, pos, neg = batch
+        u, i, pu, pi = module.apply(params)
+        tu, ti, _, _ = module.apply(
+            params, 1.0 - cfg.drop_rate, True, rngs={"edges": rng}
+        )
+        tu = jax.lax.stop_gradient(tu)
+        ti = jax.lax.stop_gradient(ti)
+        loss = _cos_reg(pu[users], ti[pos]) + _cos_reg(pi[pos], tu[users])
+        reg = l2_reg_loss(cfg.reg, u[users], i[pos]) / cfg.batch_size
+        return loss + reg, {"rec_loss": loss}
+
+    def encode_eval(params, extras):
+        u, i, pu, pi = module.apply(params)
+        return u + pu, i + pi
+
+    return ModelBundle(
+        name="SelfCF", cfg=cfg, cf=cf, kg=None, uses_kg=False,
+        init=init, batch_loss=batch_loss, encode_eval=encode_eval,
+    )

@@ -36,3 +36,17 @@ def test_ssl_family_learns(tiny_dataset, name, epochs, floor, kw):
     losses = [h.losses["train_loss"] for h in r.history]
     assert np.isfinite(losses).all(), (name, losses)
     assert r.best_metrics["recall"] > floor, (name, r.best_metrics)
+
+
+@pytest.mark.parametrize("name,floor", [("BUIR", 0.08), ("SelfCF", 0.25)])
+def test_bootstrap_family_learns(tiny_dataset, name, floor):
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cfg = make_config(
+        name, batch_size=512, embedding_size=32, item_ranking=(10, 20),
+        eval_user_batch=64, max_epoch=30, early_stopping_steps=30,
+    )
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    r = Trainer(build_model(cfg, cf)).fit(quiet=True)
+    assert np.isfinite([h.losses["train_loss"] for h in r.history]).all()
+    assert r.best_metrics["recall"] > floor, (name, r.best_metrics)
