@@ -1,0 +1,66 @@
+"""Sharded (mesh) training equivalence on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+from hypergraph_diffusion_for_recommendation_tpu.data import (
+    build_cf_device_data,
+    build_interaction,
+)
+from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+from hypergraph_diffusion_for_recommendation_tpu.parallel import make_mesh
+from hypergraph_diffusion_for_recommendation_tpu.train import Trainer
+
+
+def test_mesh_training_matches_single_device(tiny_dataset):
+    """DP + row-sharded tables must compute the same training step as the
+    single-device path (GSPMD is arithmetic-preserving here)."""
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cfg = make_config(
+        "LightGCN", batch_size=512, embedding_size=32, item_ranking=(10,),
+        eval_user_batch=64, max_epoch=3, early_stopping_steps=5,
+        shard_min_rows=64,
+    )
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+
+    t_single = Trainer(build_model(cfg, cf))
+    t_mesh = Trainer(build_model(cfg, cf), mesh=make_mesh(4, 2))
+
+    for ep in range(2):
+        l1, _ = t_single.run_epoch(ep)
+        l2, _ = t_mesh.run_epoch(ep)
+        # identical seeds -> identical batches; only reduction orders differ
+        assert abs(l1 - l2) < 1e-3, (ep, l1, l2)
+
+    m1 = t_single.evaluate()
+    m2 = t_mesh.evaluate()
+    assert abs(m1[10]["recall"] - m2[10]["recall"]) < 5e-3, (m1, m2)
+
+
+def test_mesh_sharding_actually_applied(tiny_kg_dataset):
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_kg_device_data,
+        build_knowledge,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    train, test, kg_df = tiny_kg_dataset
+    inter = build_interaction(train, test)
+    kg = build_knowledge(kg_df, inter)
+    cfg = make_config(
+        "KHGRec", batch_size=256, batch_size_kg=256, hyper_dim=16, relation_dim=16,
+        item_ranking=(10,), eval_user_batch=64, max_epoch=1, shard_min_rows=16,
+    )
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    kg_dev = build_kg_device_data(kg)
+    mesh = make_mesh(4, 2)
+    t = Trainer(build_model(cfg, cf, kg_dev), mesh=mesh)
+    table = t.params["params"]["user_entity_emb"]
+    spec = table.sharding.spec
+    assert spec == P("model", None), spec
+    # one sharded step runs
+    loss, _ = t.run_epoch(0)
+    assert np.isfinite(loss)
