@@ -28,10 +28,9 @@ def log(msg: str) -> None:
 def main() -> None:
     import jax
 
-    # persistent XLA compilation cache: repeat bench runs skip the
-    # (several-minute) first compile of the fused training epoch
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hd_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # NOTE: the persistent XLA compilation cache is intentionally NOT
+    # enabled here — with the axon remote-compile TPU backend a cache
+    # round-trip was observed to wedge the process.
 
     from hypergraph_diffusion_for_recommendation_tpu.core import make_config
     from hypergraph_diffusion_for_recommendation_tpu.data import (
