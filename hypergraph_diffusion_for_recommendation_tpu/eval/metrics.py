@@ -101,6 +101,58 @@ def ranking_metrics(
     }
 
 
+@partial(jax.jit, static_argnames=("top_ns", "block"))
+def metrics_from_topk(
+    top_ids: jnp.ndarray,
+    eval_data: EvalData,
+    top_ns: tuple[int, ...] = (10, 20, 40),
+    block: int = 256,
+) -> dict:
+    """Ranking metrics from PRE-COMPUTED top-max_n ids per padded test
+    user (the distributed-top-k eval path: ids come from
+    parallel/topk.sharded_user_topk)."""
+    n_pad = eval_data.test_users.shape[0]
+    assert n_pad % block == 0, (n_pad, block)
+    n_blocks = n_pad // block
+    max_n = max(top_ns)
+
+    valid = eval_data.user_valid.reshape(n_blocks, block)
+    test_pos = eval_data.test_pos_pad.reshape(n_blocks, block, -1)
+    counts = eval_data.test_counts.reshape(n_blocks, block)
+    ids = top_ids.reshape(n_blocks, block, -1)
+
+    disc = _discount_table(max_n)
+    pos_disc = 1.0 / jnp.log2(jnp.arange(max_n, dtype=jnp.float32) + 2.0)
+
+    def body(carry, inp):
+        ids_blk, v_blk, tp_blk, cnt_blk = inp
+        hit_f = jnp.any(ids_blk[:, :, None] == tp_blk[:, None, :], axis=-1).astype(jnp.float32)
+        vf = v_blk.astype(jnp.float32)
+        stats = []
+        for n in top_ns:
+            hits_n = jnp.sum(hit_f[:, :n], axis=1)
+            dcg_n = jnp.sum(hit_f[:, :n] * pos_disc[:n], axis=1)
+            idcg_n = disc[jnp.minimum(cnt_blk, n)]
+            ndcg_n = jnp.where(idcg_n > 0, dcg_n / jnp.maximum(idcg_n, 1e-12), 0.0)
+            rec_n = hits_n / jnp.maximum(cnt_blk.astype(jnp.float32), 1.0)
+            stats.append(
+                jnp.stack([jnp.sum(hits_n * vf), jnp.sum(rec_n * vf), jnp.sum(ndcg_n * vf)])
+            )
+        return carry + jnp.stack(stats), None
+
+    init = jnp.zeros((len(top_ns), 3), jnp.float32)
+    total, _ = jax.lax.scan(body, init, (ids, valid, test_pos, counts))
+    n_users = jnp.float32(eval_data.n_test_users)
+    n_inter = jnp.float32(eval_data.total_test_interactions)
+    ns = jnp.asarray(top_ns, jnp.float32)
+    return {
+        "hit_ratio": total[:, 0] / jnp.maximum(n_inter, 1.0),
+        "precision": total[:, 0] / jnp.maximum(n_users * ns, 1.0),
+        "recall": total[:, 1] / jnp.maximum(n_users, 1.0),
+        "ndcg": total[:, 2] / jnp.maximum(n_users, 1.0),
+    }
+
+
 def metrics_to_host(metrics: dict, top_ns: tuple[int, ...]) -> dict:
     """Device dict -> {N: {metric: float rounded to 5 (parity with the
     reference's round(x, 5), evaluation.py:30-97)}}."""

@@ -228,6 +228,33 @@ class Trainer:
         cfg = self.cfg
         cf = bundle.cf
         top_ns = tuple(cfg.top_ns)
+        mesh = self.mesh
+
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # multi-chip path: item table row-sharded, local top-k per
+            # shard + all_gather merge, then metrics on the merged ids
+            from ..eval.metrics import metrics_from_topk
+            from ..parallel.topk import sharded_user_topk
+
+            max_n = max(top_ns)
+            block = cfg.eval_user_batch
+
+            def eval_fn(params, extras):
+                u_emb, i_emb = bundle.encode_eval(params, extras)
+                ed = cf.eval_data
+                n_pad = ed.test_users.shape[0]
+                ids = []
+                for s in range(0, n_pad, block):
+                    users = ed.test_users[s : s + block]
+                    _, blk = sharded_user_topk(
+                        mesh, u_emb[users], i_emb, cf.rated_pad[users], max_n
+                    )
+                    ids.append(blk)
+                return metrics_from_topk(
+                    jnp.concatenate(ids), ed, top_ns, block=block
+                )
+
+            return eval_fn
 
         def eval_fn(params, extras):
             u_emb, i_emb = bundle.encode_eval(params, extras)
