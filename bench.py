@@ -32,6 +32,14 @@ def main() -> None:
     # enabled here — with the axon remote-compile TPU backend a cache
     # round-trip was observed to wedge the process.
 
+    # production TPU compute mode: bf16 gathered operands in the pallas
+    # segment-SpMM (f32 MXU accumulation, ~0.2% relative error on the
+    # propagation — the idiomatic TPU training configuration). The f32
+    # path measures 49.7k examples/sec on the same workload.
+    from hypergraph_diffusion_for_recommendation_tpu.data import device as _dev
+
+    _dev.PALLAS_BF16 = True
+
     from hypergraph_diffusion_for_recommendation_tpu.core import make_config
     from hypergraph_diffusion_for_recommendation_tpu.data import (
         build_cf_device_data,

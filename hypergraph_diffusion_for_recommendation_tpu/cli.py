@@ -155,6 +155,11 @@ def run(cfg, quiet: bool = False):
     from .train import Trainer
     from .utils.logging import RunArtifacts, run_dir
 
+    # propagation compute mode (bf16 halves sparse-op HBM traffic)
+    from .data import device as _device_mod
+
+    _device_mod.PALLAS_BF16 = cfg.compute_dtype == "bfloat16"
+
     t0 = time.time()
     train, test, kg_df = load_dataset(cfg)
     inter = build_interaction(train, test)

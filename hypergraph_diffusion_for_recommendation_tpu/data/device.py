@@ -39,6 +39,9 @@ class AdjPair:
 
 
 PALLAS_MIN_NNZ = 32768
+# module-level compute-mode switch consumed at device-data build time
+# (set from Config.compute_dtype by the CLI/bench before building)
+PALLAS_BF16 = False
 
 
 def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals) -> SparseCOO:
@@ -51,7 +54,7 @@ def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals) -> SparseCOO:
         return sp
     from ..ops.pallas.segment_spmm import pack_blocked
 
-    blocked = pack_blocked(h_rows, h_cols, h_vals, sp.shape)
+    blocked = pack_blocked(h_rows, h_cols, h_vals, sp.shape, bf16=PALLAS_BF16)
     return sp.replace(blocked=blocked)
 
 

@@ -53,9 +53,13 @@ class BlockedCOO:
     ncols: int = struct.field(pytree_node=False)
     n_blocks: int = struct.field(pytree_node=False)
     n_windows: int = struct.field(pytree_node=False)
+    # bf16 gathered operand: halves the dominant HBM traffic for ~0.2%
+    # relative error (single-pass MXU, f32 accumulation). Production
+    # training mode; f32 default keeps eval/parity paths exact.
+    bf16: bool = struct.field(pytree_node=False, default=False)
 
 
-def pack_blocked(rows, cols, vals, shape) -> BlockedCOO:
+def pack_blocked(rows, cols, vals, shape, bf16: bool = False) -> BlockedCOO:
     """Host-side packing of sorted COO into row-window edge blocks.
 
     `rows` may include pad entries (row == shape[0]); live edges must be
@@ -101,6 +105,7 @@ def pack_blocked(rows, cols, vals, shape) -> BlockedCOO:
         ncols=int(shape[1]),
         n_blocks=len(wmap),
         n_windows=n_windows,
+        bf16=bf16,
     )
 
 
@@ -110,12 +115,16 @@ def _segment_matmul_kernel(wmap_ref, lrows_ref, g_ref, out_ref):
     g = g_ref[0]  # [EDGE_BLOCK, d]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, ROW_BLOCK), 1)
     onehot = (lrows == row_ids).astype(g.dtype)  # [E,1] vs [E,R]: pads match nothing
+    # f32 operands: HIGHEST = exact 3-pass MXU (matches the XLA path and
+    # still beats the scatter lowering). bf16 operands: single MXU pass
+    # with f32 accumulation.
+    precision = (
+        jax.lax.Precision.DEFAULT if g.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
     partial_out = jax.lax.dot_general(
         onehot, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        # exact f32 (3-pass MXU): matches the XLA path bit-for-bit-ish
-        # and still beats the scatter lowering
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
     is_first = b == 0
@@ -167,7 +176,8 @@ def _blocked_spmm_fwd_only(
     d = x.shape[1]
     v = _packed_vals(blocked, vals)
     gathered = x[blocked.cols.reshape(-1)] * v[:, None].astype(x.dtype)
-    gathered = gathered.reshape(nb, EDGE_BLOCK, d).astype(jnp.float32)
+    gdtype = jnp.bfloat16 if blocked.bf16 else jnp.float32
+    gathered = gathered.reshape(nb, EDGE_BLOCK, d).astype(gdtype)
 
     lrows = blocked.local_rows.reshape(nb, EDGE_BLOCK, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
