@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -142,8 +141,6 @@ def load_dataset(cfg):
 
 
 def run(cfg, quiet: bool = False):
-    import jax
-
     from .data import (
         build_cf_device_data,
         build_interaction,

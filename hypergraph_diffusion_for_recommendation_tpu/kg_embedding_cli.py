@@ -24,8 +24,6 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    import numpy as np
-
     from .data.io import load_kg_data
     from .data.synthetic import generate_kg
     from .train.kg_embedding import KGEConfig, KGEmbeddingTrainer

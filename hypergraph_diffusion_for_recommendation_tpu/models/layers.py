@@ -8,8 +8,6 @@ linen modules.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

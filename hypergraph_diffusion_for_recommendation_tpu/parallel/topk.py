@@ -9,11 +9,9 @@ full [B, I] score matrix.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.topk import NEG_INF
 from .mesh import MODEL_AXIS

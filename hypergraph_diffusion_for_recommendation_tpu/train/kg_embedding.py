@@ -15,16 +15,13 @@ MRR in raw and filtered settings) plus a RealE conf — but the
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass, field
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..core.types import pad_to_multiple, padded_rows_from_lists
 
 
 @dataclass

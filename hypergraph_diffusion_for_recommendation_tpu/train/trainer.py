@@ -20,15 +20,13 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core.config import Config
 from ..eval.metrics import metrics_to_host, ranking_metrics
 from ..models.base import ModelBundle
 from ..ops.sampling import epoch_kg_batches, epoch_pairwise_batches
