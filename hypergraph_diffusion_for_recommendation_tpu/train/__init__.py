@@ -1,4 +1,5 @@
 from .optim import PlateauState, adam_coupled_wd, make_optimizer, set_lr
+from .recommender import Recommender
 from .trainer import EpochRecord, FitResult, Trainer
 
 __all__ = [
@@ -6,6 +7,7 @@ __all__ = [
     "adam_coupled_wd",
     "make_optimizer",
     "set_lr",
+    "Recommender",
     "EpochRecord",
     "FitResult",
     "Trainer",
