@@ -51,15 +51,20 @@ def generate_interactions(
 
     rows = []
     base = item_pop.copy()
+    log_base = np.log(base)
     for u in range(n_users):
-        w = base * (
-            1.0
-            + affinity * (item_cluster == user_main[u])
+        # weighted sampling WITHOUT replacement via the Gumbel top-k
+        # trick: argtop(log w + Gumbel) ~ successive draws from p ∝ w
+        # (O(n_items) per user; rng.choice(replace=False, p=...) is
+        # O(n_items * degree) and dominates build time at ML-1M scale)
+        logw = log_base + np.log1p(
+            affinity * (item_cluster == user_main[u])
             + 0.5 * affinity * (item_cluster == user_second[u])
         )
-        p = w / w.sum()
-        items = rng.choice(n_items, size=degrees[u], replace=False, p=p)
-        rows.append(np.stack([np.full(degrees[u], user_id_offset + u), items], axis=1))
+        g = rng.gumbel(size=n_items)
+        d = degrees[u]
+        items = np.argpartition(-(logw + g), d)[:d]
+        rows.append(np.stack([np.full(d, user_id_offset + u), items], axis=1))
     pairs = np.concatenate(rows, axis=0)
     return pairs[rng.permutation(len(pairs))]
 
