@@ -106,7 +106,7 @@ def _seq_augment(rng, seq, pos, seq_len, n_items):
 
 def _build_sasrec_like(name: str, use_cl: bool):
     def builder(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
-        seq_data = builder.seq_data  # attached by caller below
+        seq_data = build_seq_from_cf(cf)
         module = SASRecEncoder(
             seq_data.n_items, cfg.embedding_size, seq_data.max_len,
             n_blocks=cfg.n_layers, n_heads=1, dropout=cfg.drop_rate,
@@ -176,23 +176,6 @@ def _build_sasrec_like(name: str, use_cl: bool):
     return builder
 
 
-def _make_registered(name, use_cl):
-    base = _build_sasrec_like(name, use_cl)
-
-    def wrapper(cfg, cf, kg=None):
-        # sequence arrays derive from the same interaction data
-        from ..data.dataset import InteractionData  # noqa: F401
-
-        base.seq_data = wrapper.seq_cache.get(id(cf))
-        if base.seq_data is None:
-            base.seq_data = build_seq_from_cf(cf)
-            wrapper.seq_cache[id(cf)] = base.seq_data
-        return base(cfg, cf, kg)
-
-    wrapper.seq_cache = {}
-    return wrapper
-
-
 def build_seq_from_cf(cf: CFDeviceData, max_len: int = 50) -> SeqDeviceData:
     """Reconstruct per-user ordered sequences from the device CF data."""
     import numpy as np
@@ -242,5 +225,5 @@ def build_seq_from_cf(cf: CFDeviceData, max_len: int = 50) -> SeqDeviceData:
     )
 
 
-register_model("SASRec")(_make_registered("SASRec", use_cl=False))
-register_model("CL4SRec")(_make_registered("CL4SRec", use_cl=True))
+register_model("SASRec")(_build_sasrec_like("SASRec", use_cl=False))
+register_model("CL4SRec")(_build_sasrec_like("CL4SRec", use_cl=True))
