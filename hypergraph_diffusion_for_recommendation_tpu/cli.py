@@ -30,6 +30,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--missing_pct", type=int, default=0, choices=[0, 10, 20, 30, 40, 50])
     p.add_argument("--noise_pct", type=int, default=0, choices=[0, 10, 20, 30, 40, 50])
     p.add_argument("--model", type=str, default="HCCF")
+    p.add_argument("--conf", type=str, default="",
+                   help="reference-format .conf file (utils/conf.py); CLI flags override")
     p.add_argument("--dataset", type=str, default="synthetic")
     p.add_argument("--data_dir", type=str, default="./dataset")
     p.add_argument("--seed", type=int, default=60)
@@ -156,6 +158,7 @@ def run(cfg, quiet: bool = False):
     from .data import device as _device_mod
 
     _device_mod.PALLAS_BF16 = cfg.compute_dtype == "bfloat16"
+    _device_mod.PALLAS_DISABLE = cfg.use_pallas == "never"
 
     t0 = time.time()
     train, test, kg_df = load_dataset(cfg)
@@ -199,7 +202,25 @@ def run(cfg, quiet: bool = False):
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = build_config(args)
+    if args.conf:
+        from .utils.conf import config_from_conf
+
+        base = config_from_conf(args.conf)
+        cfg = build_config(args)
+        # conf file supplies defaults; explicit CLI flags win (reference
+        # precedence, survey 2.10)
+        import dataclasses as _dc
+
+        merged = _dc.asdict(base)
+        for f in _dc.fields(cfg):
+            v = getattr(cfg, f.name)
+            if v != getattr(type(cfg)(), f.name, None):
+                merged[f.name] = v
+        from .core.config import Config as _C
+
+        cfg = _C(**merged)
+    else:
+        cfg = build_config(args)
     s = time.time()
     result = run(cfg, quiet=args.quiet)
     print(f"Running time: {time.time() - s:.1f} s")

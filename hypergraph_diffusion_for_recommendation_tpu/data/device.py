@@ -39,9 +39,10 @@ class AdjPair:
 
 
 PALLAS_MIN_NNZ = 32768
-# module-level compute-mode switch consumed at device-data build time
-# (set from Config.compute_dtype by the CLI/bench before building)
+# module-level compute-mode switches consumed at device-data build time
+# (set from Config.compute_dtype / Config.use_pallas by the CLI/bench)
 PALLAS_BF16 = False
+PALLAS_DISABLE = False
 
 
 def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals) -> SparseCOO:
@@ -50,7 +51,7 @@ def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals) -> SparseCOO:
     Packs from the HOST-side arrays: a device->host round trip over the
     remote-TPU tunnel is orders of magnitude slower than H2D.
     """
-    if jax.default_backend() != "tpu" or sp.nnz < PALLAS_MIN_NNZ:
+    if PALLAS_DISABLE or jax.default_backend() != "tpu" or sp.nnz < PALLAS_MIN_NNZ:
         return sp
     from ..ops.pallas.segment_spmm import pack_blocked
 

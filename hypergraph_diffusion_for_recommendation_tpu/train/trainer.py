@@ -330,12 +330,18 @@ class Trainer:
         examples = 0
         train_time_total = 0.0
 
+        last_metrics: dict | None = None
         for ep in range(start_epoch, max_epoch):
             t0 = time.time()
             loss, aux = self.run_epoch(ep)
             jax.block_until_ready(jax.tree.leaves(self.params)[0])
             t1 = time.time()
-            metrics = self.evaluate()
+            # evaluate_every-epoch cadence (reference main.py:92-93)
+            if ep % max(cfg.evaluate_every, 1) == 0 or last_metrics is None:
+                metrics = self.evaluate()
+                last_metrics = metrics
+            else:
+                metrics = last_metrics
             t2 = time.time()
             examples += self.n_batches * cfg.batch_size
             train_time_total += t1 - t0
