@@ -54,10 +54,6 @@ def build_ktup(cfg: Config, cf: CFDeviceData, kg: KGDeviceData) -> ModelBundle:
     def init(rng):
         return module.init(rng, kg), ()
 
-    def _cf_scores(params, users, items_emb_fn=None):
-        u, ent, rel, norm, pref = module.apply(params, kg)
-        return u, ent, rel, norm, pref
-
     def batch_loss(params, extras, batch, rng):
         users, pos, neg, h, r, pt, nt = batch
         u, ent, rel, norm, pref = module.apply(params, kg)

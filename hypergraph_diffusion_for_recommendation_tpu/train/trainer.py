@@ -87,7 +87,10 @@ class Trainer:
             self.opt_state = self.opt.init(self.params)
             self._epoch_fn = jax.jit(self._build_epoch_fn())
         self._eval_fn = jax.jit(self._build_eval_fn())
-        self.n_batches = -(-bundle.cf.n_train // cfg.batch_size)
+        if bundle.batch_kind == "sequence":
+            self.n_batches = -(-bundle.seq.seq.shape[0] // cfg.batch_size)
+        else:
+            self.n_batches = -(-bundle.cf.n_train // cfg.batch_size)
 
     # ------------------------------------------------------------------
     def _build_epoch_fn(self):
