@@ -102,3 +102,30 @@ def test_unseen_test_items_counted_in_denominators():
 def test_early_stopping_parity():
     assert early_stopping([0.1, 0.2, 0.15], 2) == (0.2, False)
     assert early_stopping([0.1, 0.2, 0.15, 0.14], 2) == (0.2, True)
+
+
+def test_metrics_from_topk_matches_ranking_metrics(tiny_dataset):
+    """The precomputed-ids path (distributed eval) must equal the fused path."""
+    import jax.numpy as jnp
+    from hypergraph_diffusion_for_recommendation_tpu.eval.metrics import (
+        metrics_from_topk,
+        ranking_metrics,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.ops.topk import masked_topk
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter, eval_user_multiple=64)
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.standard_normal((inter.n_users, 16)).astype(np.float32))
+    i = jnp.asarray(rng.standard_normal((inter.n_items, 16)).astype(np.float32))
+
+    top_ns = (5, 10, 20)
+    fused = metrics_to_host(
+        ranking_metrics(u, i, dev.rated_pad, dev.eval_data, top_ns, block=64), top_ns
+    )
+    ed = dev.eval_data
+    scores = jnp.dot(u[ed.test_users], i.T, precision="highest")
+    _, ids = masked_topk(scores, dev.rated_pad[ed.test_users], max(top_ns))
+    split = metrics_to_host(metrics_from_topk(ids, ed, top_ns, block=64), top_ns)
+    assert fused == split
