@@ -75,9 +75,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def build_config(args: argparse.Namespace):
-    from .core.config import make_config
-
+def extract_overrides(args: argparse.Namespace) -> dict:
     overrides = {}
     for key in (
         "experiment", "group_id", "missing_pct", "noise_pct", "dataset", "data_dir",
@@ -96,7 +94,13 @@ def build_config(args: argparse.Namespace):
         overrides["conv_dim_list"] = tuple(json.loads(args.conv_dim_list))
     if args.mess_dropout:
         overrides["mess_dropout"] = tuple(json.loads(args.mess_dropout))
-    return make_config(args.model, **overrides)
+    return overrides
+
+
+def build_config(args: argparse.Namespace):
+    from .core.config import make_config
+
+    return make_config(args.model, **extract_overrides(args))
 
 
 def load_dataset(cfg):
@@ -203,22 +207,11 @@ def run(cfg, quiet: bool = False):
 def main(argv=None):
     args = parse_args(argv)
     if args.conf:
+        # conf file supplies defaults; CLI flags win (reference
+        # precedence, survey 2.10)
         from .utils.conf import config_from_conf
 
-        base = config_from_conf(args.conf)
-        cfg = build_config(args)
-        # conf file supplies defaults; explicit CLI flags win (reference
-        # precedence, survey 2.10)
-        import dataclasses as _dc
-
-        merged = _dc.asdict(base)
-        for f in _dc.fields(cfg):
-            v = getattr(cfg, f.name)
-            if v != getattr(type(cfg)(), f.name, None):
-                merged[f.name] = v
-        from .core.config import Config as _C
-
-        cfg = _C(**merged)
+        cfg = config_from_conf(args.conf, **extract_overrides(args))
     else:
         cfg = build_config(args)
     s = time.time()

@@ -41,8 +41,6 @@ def _social_channels(cf: CFDeviceData, social_mat) -> dict[str, AdjPair]:
     s_sym.data[:] = 1.0
     mutual = s.multiply(s.T).tocsr()
     # purchase channel: users co-interacting (binarised co-occurrence)
-    import scipy.sparse as sps
-
     r = cf_interaction_csr(cf)
     co = (r @ r.T).tocsr()
     co.setdiag(0)
