@@ -39,6 +39,10 @@ class AdjPair:
 
 
 PALLAS_MIN_NNZ = 32768
+# upper guard: a ~1.9M-nnz power-law adjacency (ML-1M scale) produced a
+# TPU worker kernel fault in the blocked kernel (long same-window revisit
+# chains); the XLA path handles that regime until the fault is root-caused
+PALLAS_MAX_NNZ = 1_500_000
 # module-level compute-mode switches consumed at device-data build time
 # (set from Config.compute_dtype / Config.use_pallas by the CLI/bench)
 PALLAS_BF16 = False
@@ -51,7 +55,11 @@ def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals) -> SparseCOO:
     Packs from the HOST-side arrays: a device->host round trip over the
     remote-TPU tunnel is orders of magnitude slower than H2D.
     """
-    if PALLAS_DISABLE or jax.default_backend() != "tpu" or sp.nnz < PALLAS_MIN_NNZ:
+    if (
+        PALLAS_DISABLE
+        or jax.default_backend() != "tpu"
+        or not (PALLAS_MIN_NNZ <= sp.nnz <= PALLAS_MAX_NNZ)
+    ):
         return sp
     from ..ops.pallas.segment_spmm import pack_blocked
 
