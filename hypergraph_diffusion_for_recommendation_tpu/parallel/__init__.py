@@ -8,6 +8,7 @@ from .mesh import (
     replicated,
     row_sharded,
 )
+from .sharded_mf import ShardedMF
 from .topk import sharded_user_topk
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "sharded_lookup",
     "sharded_scatter_add",
     "sharded_user_topk",
+    "ShardedMF",
 ]
