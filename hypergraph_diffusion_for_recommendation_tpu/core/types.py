@@ -129,6 +129,7 @@ def padded_rows_from_lists(
     fill: int,
     width: int | None = None,
     pad_multiple: int = 8,
+    max_width: int | None = None,
 ) -> np.ndarray:
     """Pack ragged per-row index lists into a dense [n, width] int32 array.
 
@@ -139,6 +140,8 @@ def padded_rows_from_lists(
     if width is None:
         width = max((len(l) for l in lists), default=1)
         width = max(pad_to_multiple(max(width, 1), pad_multiple), pad_multiple)
+        if max_width is not None:
+            width = min(width, max_width)
     out = np.full((n, width), fill, np.int32)
     for i, l in enumerate(lists):
         l = np.asarray(l, np.int32)[:width]

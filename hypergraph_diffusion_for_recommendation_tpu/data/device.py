@@ -283,7 +283,15 @@ def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceDa
     att_t_t = np.concatenate([h_s[t_order], np.zeros(pad, np.int32)])
     t_perm = np.concatenate([t_order, np.arange(n_kg, nnz_pad)]).astype(np.int32)
 
-    head_tails = padded_rows_from_lists(kg.head_tail_lists(), fill=-1, pad_multiple=pad_multiple)
+    # cap the per-head true-tail table: heads with huge fan-out (popular
+    # items carrying inverse-CF edges) would otherwise make this
+    # [E, max_deg] table and its per-batch gathers explode at production
+    # scale. Tails beyond the cap can be drawn as "negatives" with
+    # vanishing probability — the reference's rejection sampler has the
+    # same acceptance-set semantics only for the tails it knows.
+    head_tails = padded_rows_from_lists(
+        kg.head_tail_lists(), fill=-1, pad_multiple=pad_multiple, max_width=1024
+    )
 
     return KGDeviceData(
         kg_adj=kg_adj,
