@@ -8,6 +8,8 @@ this boundary every batch via its Python samplers and per-user
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -40,9 +42,12 @@ class AdjPair:
 
 PALLAS_MIN_NNZ = 32768
 # upper guard: a ~1.9M-nnz power-law adjacency (ML-1M scale) produced a
-# TPU worker kernel fault in the blocked kernel (long same-window revisit
-# chains); the XLA path handles that regime until the fault is root-caused
-PALLAS_MAX_NNZ = 1_500_000
+# TPU worker fault in round 1. A standalone bisect (scripts/bisect_pallas.py)
+# since cleared the raw kernel at 1.9M nnz / 396k-deep revisit chains /
+# d∈{64,128} / f32+bf16 / square+rect, pointing at whole-model composition
+# or a transient backend issue rather than the kernel. The guard stays as
+# a safety valve, overridable for scale runs via HGDR_PALLAS_MAX_NNZ.
+PALLAS_MAX_NNZ = int(os.environ.get("HGDR_PALLAS_MAX_NNZ", 1_500_000))
 # module-level compute-mode switches consumed at device-data build time
 # (set from Config.compute_dtype / Config.use_pallas by the CLI/bench)
 PALLAS_BF16 = False

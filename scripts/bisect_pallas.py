@@ -1,0 +1,113 @@
+"""Standalone scale bisect for the pallas blocked segment-SpMM kernel.
+
+A ~1.9M-nnz power-law adjacency under HGNN_HD3 crashed the TPU worker in
+round 1 (guard at data/device.py PALLAS_MAX_NNZ). This script exercises
+ONLY the kernel at a requested scale so the fault can be attributed:
+raw-kernel fault vs whole-model (memory pressure / other op) fault.
+
+Usage: python scripts/bisect_pallas.py --nnz 1900000 --n 9746 --d 64 \
+           [--bf16] [--alpha 1.2] [--grad]
+Prints one line: BISECT PASS/FAIL nnz=... maxerr=... fwd_ms=...
+A worker fault shows up as a crash / hang (run under `timeout`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def powerlaw_coo(rng: np.random.Generator, nnz: int, n: int, m: int, alpha: float):
+    """Zipf-ish rows (long revisit chains in row 0's window) + uniform cols."""
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks ** (-alpha)
+    p /= p.sum()
+    rows = rng.choice(n, size=nnz, p=p)
+    cols = rng.integers(0, m, size=nnz)
+    vals = rng.uniform(0.1, 1.0, size=nnz).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    return rows[order], cols[order], vals[order]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nnz", type=int, required=True)
+    ap.add_argument("--n", type=int, default=9746)
+    ap.add_argument("--m", type=int, default=0, help="cols; default = n (square)")
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--alpha", type=float, default=1.2)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--grad", action="store_true", help="also run the VJP")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+    m = args.m or args.n
+
+    import jax
+    import jax.numpy as jnp
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
+
+    from hypergraph_diffusion_for_recommendation_tpu.ops.pallas.segment_spmm import (
+        blocked_spmm,
+        pack_blocked,
+    )
+
+    rng = np.random.default_rng(0)
+    rows, cols, vals = powerlaw_coo(rng, args.nnz, args.n, m, args.alpha)
+    top_row_count = int(np.max(np.bincount(rows, minlength=args.n)))
+    print(f"top-row degree (revisit-chain proxy): {top_row_count}", flush=True)
+
+    blocked = pack_blocked(rows, cols, vals, (args.n, m), bf16=args.bf16)
+    print(f"n_blocks={blocked.n_blocks} n_windows={blocked.n_windows}", flush=True)
+
+    x = jnp.asarray(rng.standard_normal((m, args.d)).astype(np.float32))
+
+    t0 = time.time()
+    y = blocked_spmm(blocked, x)
+    y.block_until_ready()
+    print(f"first call (incl compile): {time.time() - t0:.1f}s", flush=True)
+
+    # XLA reference
+    ref = jax.ops.segment_sum(
+        x[jnp.asarray(cols)] * jnp.asarray(vals)[:, None],
+        jnp.asarray(rows),
+        num_segments=args.n,
+        indices_are_sorted=True,
+    )
+    maxerr = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+
+    for _ in range(3):
+        blocked_spmm(blocked, x).block_until_ready()
+    t0 = time.time()
+    for _ in range(args.iters):
+        y = blocked_spmm(blocked, x)
+    y.block_until_ready()
+    fwd_ms = (time.time() - t0) / args.iters * 1e3
+
+    grad_ms = -1.0
+    if args.grad:
+        loss = jax.jit(lambda xx: jnp.sum(blocked_spmm(blocked, xx) ** 2))
+        g = jax.jit(jax.grad(loss))
+        g(x).block_until_ready()
+        t0 = time.time()
+        for _ in range(args.iters):
+            gg = g(x)
+        gg.block_until_ready()
+        grad_ms = (time.time() - t0) / args.iters * 1e3
+
+    tol = 2e-2 if args.bf16 else 1e-4
+    status = "PASS" if maxerr < tol else "FAIL"
+    print(
+        f"BISECT {status} nnz={args.nnz} d={args.d} bf16={args.bf16} "
+        f"maxrelerr={maxerr:.2e} fwd_ms={fwd_ms:.2f} grad_ms={grad_ms:.2f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""ML-1M-scale check for any registered model, with the pallas guard
+raised (HGDR_PALLAS_MAX_NNZ) — the reproduction harness for the round-1
+TPU worker fault (HGNN_HD3 on a ~1.9M-nnz power-law adjacency).
+
+Usage:
+  HGDR_PALLAS_MAX_NNZ=4000000 timeout 900 python scripts/scale_check.py \
+      --model HGNN_HD3 --epochs 2 [--bf16] [--users 6040 --items 3706 --degree 147]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="HGNN_HD3")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--users", type=int, default=6040)
+    ap.add_argument("--items", type=int, default=3706)
+    ap.add_argument("--degree", type=float, default=147.0)  # ~886k train edges
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--with-kg", action="store_true")
+    args = ap.parse_args()
+
+    import hypergraph_diffusion_for_recommendation_tpu.data.device as devmod
+
+    devmod.PALLAS_BF16 = args.bf16
+    from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_cf_device_data,
+        build_interaction,
+        build_kg_device_data,
+        build_knowledge,
+        synthetic_dataset,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+    from hypergraph_diffusion_for_recommendation_tpu.train import Trainer
+
+    print(f"pallas guard: [{devmod.PALLAS_MIN_NNZ}, {devmod.PALLAS_MAX_NNZ}]", flush=True)
+    t0 = time.time()
+    train, test, kg_df = synthetic_dataset(
+        n_users=args.users, n_items=args.items, n_clusters=64,
+        mean_degree=args.degree, seed=7, with_kg=args.with_kg,
+    )
+    print(f"synthetic: {len(train)} train / {len(test)} test pairs "
+          f"({time.time()-t0:.1f}s)", flush=True)
+    inter = build_interaction(train, test)
+    t0 = time.time()
+    cf_dev = build_cf_device_data(inter, eval_user_multiple=512)
+    kg_dev = None
+    if args.with_kg:
+        kg = build_knowledge(kg_df, inter)
+        kg_dev = build_kg_device_data(kg)
+    print(f"device data: {time.time()-t0:.1f}s; adj nnz={cf_dev.adj.fwd.nnz} "
+          f"blocked={'yes' if cf_dev.adj.fwd.blocked is not None else 'no'}", flush=True)
+
+    cfg = make_config(
+        args.model, batch_size=args.batch, hyper_dim=args.dim,
+        item_ranking=(10, 20, 40), eval_user_batch=512,
+        max_epoch=args.epochs, early_stopping_steps=args.epochs + 1,
+    )
+    tr = Trainer(build_model(cfg, cf_dev, kg_dev))
+    for ep in range(args.epochs):
+        t0 = time.time()
+        loss, aux = tr.run_epoch(ep)
+        import jax
+
+        jax.block_until_ready(jax.tree.leaves(tr.params)[0])
+        print(f"epoch {ep}: loss {loss:.4f} ({time.time()-t0:.1f}s)", flush=True)
+    m = tr.evaluate()
+    print(f"SCALE_CHECK PASS model={args.model} recall@20={m[20]['recall']:.5f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
