@@ -10,9 +10,14 @@ learned positional embeddings, per-position BCE with one sampled
 negative (the sampler's contract, util/sampler.py:292-320).
 
 CL4SRec adds contrastive learning between two augmented views of each
-sequence (crop / item-mask, mirroring SequenceAugmentor
-data/augmentor.py:66-97; reorder is approximated by item-mask — noted
-deviation) with InfoNCE over the final-position representations.
+sequence — crop / item-mask / reorder, mirroring SequenceAugmentor
+(data/augmentor.py:66-97) — with InfoNCE over the final-position
+representations. All three augmentations are static-shape on-device
+transforms: crop shifts the window to the front with renumbered
+positions (item_crop semantics), mask zeroes random live positions
+(mask token = pad 0, vs the reference's dedicated mask_idx — noted
+deviation), and reorder shuffles a contiguous window in place via a
+key-sort (random sort keys inside the window, position keys outside).
 """
 
 from __future__ import annotations
@@ -81,27 +86,50 @@ class SASRecEncoder(nn.Module):
         return x, item_emb
 
 
-def _seq_augment(rng, seq, pos, seq_len, n_items):
-    """CL4SRec view: randomly crop (contiguous 60% window) or item-mask
-    (30% positions -> pad)."""
-    k_choice, k_a, k_b = jax.random.split(rng, 3)
-    use_crop = jax.random.bernoulli(k_choice, 0.5, (seq.shape[0],))
+def _seq_augment(rng, seq, pos, seq_len, n_items,
+                 crop_ratio=0.6, mask_ratio=0.3, reorder_ratio=0.3):
+    """One CL4SRec view: per row, pick crop / item-mask / reorder
+    uniformly (SequenceAugmentor, data/augmentor.py:71-97), each as a
+    static-shape device transform."""
+    k_choice, k_a, k_b, k_c, k_d = jax.random.split(rng, 5)
+    b, max_len = seq.shape
+    idx = jnp.arange(max_len)[None, :]
+    seq_len = jnp.maximum(seq_len, 1)
 
-    # crop: keep [start, start + 0.6*len)
-    keep_len = jnp.maximum((seq_len * 6) // 10, 1)
-    start = (
-        jax.random.uniform(k_a, (seq.shape[0],)) * (seq_len - keep_len + 1).astype(jnp.float32)
-    ).astype(jnp.int32)
-    idx = jnp.arange(seq.shape[1])[None, :]
-    crop_mask = (idx >= start[:, None]) & (idx < (start + keep_len)[:, None])
-    cropped = jnp.where(crop_mask, seq, 0)
+    # crop (item_crop): window [start, start+floor(len*ratio)+1) moved to
+    # the FRONT with positions renumbered 1..crop_len (augmentor.py:71-81)
+    keep_len = (seq_len.astype(jnp.float32) * crop_ratio).astype(jnp.int32)
+    crop_len = jnp.minimum(keep_len + 1, seq_len)
+    max_start = jnp.maximum(seq_len - keep_len, 1)
+    start = (jax.random.uniform(k_a, (b,)) * max_start.astype(jnp.float32)).astype(jnp.int32)
+    src = jnp.clip(start[:, None] + idx, 0, max_len - 1)
+    shifted = jnp.take_along_axis(seq, src, axis=1)
+    cvalid = idx < crop_len[:, None]
+    cropped = jnp.where(cvalid, shifted, 0)
+    cropped_pos = jnp.where(cvalid, idx + 1, 0)
 
-    # item mask: drop 30% of positions
-    keep = jax.random.bernoulli(k_b, 0.7, seq.shape)
+    # item mask (item_mask): zero floor(len*ratio) random live positions
+    # (mask token = pad 0 vs the reference's dedicated mask_idx)
+    keep = jax.random.bernoulli(k_b, 1.0 - mask_ratio, seq.shape)
     masked = jnp.where(keep, seq, 0)
 
-    out = jnp.where(use_crop[:, None], cropped, masked)
-    return out, pos
+    # reorder (item_reorder): shuffle a window of floor(len*ratio)+1 in
+    # place — random sort keys inside the window, position keys outside,
+    # so argsort permutes only the window and fixes everything else
+    w = (seq_len.astype(jnp.float32) * reorder_ratio).astype(jnp.int32) + 1
+    rmax_start = jnp.maximum(seq_len - (w - 1), 1)
+    rstart = (jax.random.uniform(k_c, (b,)) * rmax_start.astype(jnp.float32)).astype(jnp.int32)
+    in_win = (idx >= rstart[:, None]) & (idx < (rstart + w)[:, None]) & (idx < seq_len[:, None])
+    rnd = jax.random.uniform(k_d, seq.shape)
+    key = jnp.where(in_win, rstart[:, None].astype(jnp.float32) + rnd * w[:, None],
+                    idx.astype(jnp.float32))
+    perm = jnp.argsort(key, axis=1)
+    reordered = jnp.take_along_axis(seq, perm, axis=1)
+
+    choice = jax.random.randint(k_choice, (b,), 0, 3)[:, None]
+    out = jnp.where(choice == 0, cropped, jnp.where(choice == 1, masked, reordered))
+    out_pos = jnp.where(choice == 0, cropped_pos, pos)
+    return out, out_pos
 
 
 def _build_sasrec_like(name: str, use_cl: bool):

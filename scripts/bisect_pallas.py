@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--grad", action="store_true", help="also run the VJP")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--vals", action="store_true",
+                    help="pass explicit vals (exercise the src re-gather path)")
+    ap.add_argument("--scan", type=int, default=0,
+                    help="run N grad steps inside lax.scan (mimics the epoch loop)")
+    ap.add_argument("--twohop", action="store_true",
+                    help="A @ (A^T @ X) through spmm_pair/AdjPair (the HGCNConv path)")
     args = ap.parse_args()
     m = args.m or args.n
 
@@ -67,8 +73,9 @@ def main():
 
     x = jnp.asarray(rng.standard_normal((m, args.d)).astype(np.float32))
 
+    explicit_vals = jnp.asarray(vals) if args.vals else None
     t0 = time.time()
-    y = blocked_spmm(blocked, x)
+    y = blocked_spmm(blocked, x, explicit_vals)
     y.block_until_ready()
     print(f"first call (incl compile): {time.time() - t0:.1f}s", flush=True)
 
@@ -82,10 +89,10 @@ def main():
     maxerr = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
 
     for _ in range(3):
-        blocked_spmm(blocked, x).block_until_ready()
+        blocked_spmm(blocked, x, explicit_vals).block_until_ready()
     t0 = time.time()
     for _ in range(args.iters):
-        y = blocked_spmm(blocked, x)
+        y = blocked_spmm(blocked, x, explicit_vals)
     y.block_until_ready()
     fwd_ms = (time.time() - t0) / args.iters * 1e3
 
@@ -99,6 +106,58 @@ def main():
             gg = g(x)
         gg.block_until_ready()
         grad_ms = (time.time() - t0) / args.iters * 1e3
+
+    if args.twohop:
+        # the HGCNConv path: dropout vals -> AdjPair -> two_hop under grad
+        from hypergraph_diffusion_for_recommendation_tpu.data.device import make_adj_pair
+        import hypergraph_diffusion_for_recommendation_tpu.data.device as devmod
+        from hypergraph_diffusion_for_recommendation_tpu.ops.sparse import two_hop
+
+        devmod.PALLAS_MAX_NNZ = max(devmod.PALLAS_MAX_NNZ, args.nnz * 2)
+        pair = make_adj_pair(rows, cols, vals, (args.n, m))
+        print(f"twohop: fwd blocked={pair.fwd.blocked is not None} "
+              f"bwd blocked={pair.bwd.blocked is not None}", flush=True)
+
+        def th_loss(xx, key):
+            dropped = pair.dropped(key, 0.8)
+            return jnp.sum(two_hop(dropped.fwd, dropped.bwd, xx) ** 2)
+
+        gfn = jax.jit(jax.grad(th_loss))
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
+        gfn(x, key).block_until_ready()
+        print(f"twohop grad first call: {time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+        for i in range(args.iters):
+            gg = gfn(x, jax.random.fold_in(key, i))
+        gg.block_until_ready()
+        print(f"BISECT PASS twohop nnz={args.nnz} "
+              f"grad_ms={(time.time() - t0) / args.iters * 1e3:.2f}", flush=True)
+        return
+
+    if args.scan:
+        vals_j = jnp.asarray(vals)
+
+        def step(xx, key):
+            # dropout-style masked vals, re-gathered through `src` (the
+            # in-model path: AdjPair.dropped -> _packed_vals)
+            v = vals_j * jax.random.bernoulli(key, 0.8, (args.nnz,)) / 0.8
+            def loss(xc):
+                return jnp.sum(blocked_spmm(blocked, xc, v) ** 2)
+            g = jax.grad(loss)(xx)
+            return xx - 1e-6 * g, jnp.sum(g)
+
+        @jax.jit
+        def run_scan(xx, key):
+            keys = jax.random.split(key, args.scan)
+            return jax.lax.scan(step, xx, keys)
+
+        t0 = time.time()
+        xs, sums = run_scan(x, jax.random.PRNGKey(1))
+        xs.block_until_ready()
+        print(f"BISECT PASS scan={args.scan} nnz={args.nnz} "
+              f"total_s={time.time() - t0:.1f}", flush=True)
+        return
 
     tol = 2e-2 if args.bf16 else 1e-4
     status = "PASS" if maxerr < tol else "FAIL"
