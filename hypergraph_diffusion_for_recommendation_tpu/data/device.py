@@ -17,6 +17,7 @@ from flax import struct
 
 from ..core.types import SparseCOO, from_edges, pad_to_multiple, padded_rows_from_lists
 from ..ops.dropout import drop_edges
+from ..ops.sampling import CSRMembership, membership_from_lists
 from .dataset import InteractionData
 from .knowledge import KnowledgeData
 
@@ -143,7 +144,8 @@ class CFDeviceData:
     bip_src: jnp.ndarray
     edge_u: jnp.ndarray  # [n_train] int32
     edge_i: jnp.ndarray
-    rated_pad: jnp.ndarray  # [U, max_deg] dense item ids, pad -1
+    rated_pad: jnp.ndarray  # [U, max_deg] dense item ids, pad -1 (eval masking)
+    rated_csr: CSRMembership  # O(nnz) membership for negative sampling
     eval_data: EvalData
     n_users: int = struct.field(pytree_node=False)
     n_items: int = struct.field(pytree_node=False)
@@ -167,7 +169,7 @@ class KGDeviceData:
     att_t_perm: jnp.ndarray  # transpose permutation over the SAME edge list
     att_h_t: jnp.ndarray  # transpose structure: rows (=tails) sorted, pad = n_entities
     att_t_t: jnp.ndarray  # transpose structure cols (=heads)
-    head_tails_pad: jnp.ndarray  # [E, max_head_deg] true tails per head, pad -1
+    head_tails: CSRMembership  # exact per-head true-tail membership (O(n_kg))
     user_idx: jnp.ndarray  # [n_users] entity ids of CF users (dense order)
     item_idx: jnp.ndarray  # [n_items] entity ids of CF items
     n_entities: int = struct.field(pytree_node=False)
@@ -224,7 +226,9 @@ def build_cf_device_data(
         [bip_src_sorted, np.zeros(pad_n, np.int64)]
     ).astype(np.int32)
 
-    rated = padded_rows_from_lists(inter.rated_lists(), fill=-1, pad_multiple=pad_multiple)
+    rated_lists = inter.rated_lists()
+    rated = padded_rows_from_lists(rated_lists, fill=-1, pad_multiple=pad_multiple)
+    rated_csr = membership_from_lists(rated_lists)
 
     test_users, test_groups, test_counts = inter.test_lists()
     n_tu = len(test_users)
@@ -261,6 +265,7 @@ def build_cf_device_data(
         edge_u=jnp.asarray(inter.train_u),
         edge_i=jnp.asarray(inter.train_i),
         rated_pad=jnp.asarray(rated),
+        rated_csr=rated_csr,
         eval_data=eval_data,
         n_users=inter.n_users,
         n_items=inter.n_items,
@@ -288,15 +293,13 @@ def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceDa
     att_t_t = np.concatenate([h_s[t_order], np.zeros(pad, np.int32)])
     t_perm = np.concatenate([t_order, np.arange(n_kg, nnz_pad)]).astype(np.int32)
 
-    # cap the per-head true-tail table: heads with huge fan-out (popular
-    # items carrying inverse-CF edges) would otherwise make this
-    # [E, max_deg] table and its per-batch gathers explode at production
-    # scale. Tails beyond the cap can be drawn as "negatives" with
-    # vanishing probability — the reference's rejection sampler has the
-    # same acceptance-set semantics only for the tails it knows.
-    head_tails = padded_rows_from_lists(
-        kg.head_tail_lists(), fill=-1, pad_multiple=pad_multiple, max_width=1024
-    )
+    # exact per-head true-tail membership in O(n_kg) memory: the earlier
+    # padded [E, max_head_deg] table had to be width-capped at production
+    # scale (heads with huge fan-out from inverse-CF edges), losing
+    # acceptance-set exactness; the sorted-CSR binary-search form keeps
+    # the reference rejection sampler's semantics (util/sampler.py:50-57)
+    # with no cap.
+    head_tails = membership_from_lists(kg.head_tail_lists())
 
     return KGDeviceData(
         kg_adj=kg_adj,
@@ -307,7 +310,7 @@ def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceDa
         att_t_perm=jnp.asarray(t_perm),
         att_h_t=jnp.asarray(att_h_t.astype(np.int32)),
         att_t_t=jnp.asarray(att_t_t.astype(np.int32)),
-        head_tails_pad=jnp.asarray(head_tails),
+        head_tails=head_tails,
         user_idx=jnp.asarray(kg.user_entity_ids.astype(np.int32)),
         item_idx=jnp.asarray(kg.item_entity_ids.astype(np.int32)),
         n_entities=kg.n_entities,

@@ -16,24 +16,81 @@ this is < 1e-20 at R=8. Residual collisions keep the last draw.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 
-def is_rated(rated_pad: jnp.ndarray, users: jnp.ndarray, cands: jnp.ndarray) -> jnp.ndarray:
-    """Membership test: is cands[b] in user b's rated list?
+@struct.dataclass
+class CSRMembership:
+    """Sorted-CSR membership table: per-row sorted id lists stored as one
+    concatenated array + indptr, tested by vectorised binary search.
 
-    rated_pad: [U, max_deg] padded per-user rated item ids (pad = -1).
-    users, cands: [B] int32.
+    Production-scale form of the padded [n_rows, max_deg] tables: memory
+    is O(nnz) instead of O(n_rows * max_deg) (a single power-user row no
+    longer sizes the whole table), and — unlike the capped per-head
+    tail table this replaces for KG sampling — it is EXACT: the
+    acceptance set matches the reference rejection sampler's
+    (util/sampler.py:50-57) with no width cap.
     """
-    rows = rated_pad[users]  # [B, max_deg]
+
+    items: jnp.ndarray  # [nnz] concatenated per-row ascending ids
+    indptr: jnp.ndarray  # [n_rows + 1] int32
+    steps: int = struct.field(pytree_node=False)  # binary-search iterations
+
+
+def membership_from_lists(lists) -> CSRMembership:
+    """Host-side build from ragged per-row id lists."""
+    n = len(lists)
+    lens = np.fromiter((len(l) for l in lists), np.int64, count=n)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    if indptr[-1] == 0:
+        items = np.zeros(1, np.int32)
+    else:
+        items = np.concatenate([np.sort(np.asarray(l, np.int32)) for l in lists if len(l)])
+    max_len = int(lens.max()) if n else 1
+    steps = int(np.ceil(np.log2(max(max_len, 1) + 1))) + 1
+    return CSRMembership(
+        items=jnp.asarray(items.astype(np.int32)),
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        steps=steps,
+    )
+
+
+def _is_member_csr(m: CSRMembership, rows: jnp.ndarray, cands: jnp.ndarray) -> jnp.ndarray:
+    """Vectorised lower-bound binary search in each row's sorted segment."""
+    lo = m.indptr[rows]
+    hi = m.indptr[rows + 1]
+    l, h = lo, hi
+    size = m.items.shape[0]
+    for _ in range(m.steps):
+        active = l < h
+        mid = (l + h) >> 1
+        v = m.items[jnp.clip(mid, 0, size - 1)]
+        go = v < cands
+        l = jnp.where(active & go, mid + 1, l)
+        h = jnp.where(active & jnp.logical_not(go), mid, h)
+    return (l < hi) & (m.items[jnp.clip(l, 0, size - 1)] == cands)
+
+
+def is_rated(table, users: jnp.ndarray, cands: jnp.ndarray) -> jnp.ndarray:
+    """Membership test: is cands[b] in row users[b] of the table?
+
+    `table` is either a padded [n_rows, max_deg] id array (pad = -1) or a
+    `CSRMembership`; users, cands: [B] int32.
+    """
+    if isinstance(table, CSRMembership):
+        return _is_member_csr(table, users, cands)
+    rows = table[users]  # [B, max_deg]
     return jnp.any(rows == cands[:, None], axis=1)
 
 
 def sample_negatives(
     rng: jax.Array,
     users: jnp.ndarray,
-    rated_pad: jnp.ndarray,
+    rated_pad,
     n_items: int,
     rounds: int = 8,
 ) -> jnp.ndarray:
@@ -50,7 +107,7 @@ def sample_negatives(
 def sample_negatives_chunked(
     rng: jax.Array,
     users_2d: jnp.ndarray,
-    rated_pad: jnp.ndarray,
+    rated_pad,
     n_items: int,
     rounds: int = 8,
 ) -> jnp.ndarray:
@@ -74,7 +131,7 @@ def epoch_pairwise_batches(
     rng: jax.Array,
     edge_users: jnp.ndarray,
     edge_items: jnp.ndarray,
-    rated_pad: jnp.ndarray,
+    rated_pad,
     n_items: int,
     batch_size: int,
     rounds: int = 8,
@@ -105,7 +162,7 @@ def epoch_pointwise_batches(
     rng: jax.Array,
     edge_users: jnp.ndarray,
     edge_items: jnp.ndarray,
-    rated_pad: jnp.ndarray,
+    rated_pad,
     n_items: int,
     batch_size: int,
     n_negs: int = 4,
@@ -143,7 +200,7 @@ def epoch_kg_batches(
     heads: jnp.ndarray,
     relations: jnp.ndarray,
     tails: jnp.ndarray,
-    head_tails_pad: jnp.ndarray,
+    head_tails,
     n_entities: int,
     n_batches: int,
     batch_size_kg: int,
@@ -155,8 +212,8 @@ def epoch_kg_batches(
     (util/sampler.py:33-88): per batch, a uniform random subsample of
     `batch_size_kg` triples, plus one negative tail per positive drawn
     uniformly from entities and redrawn while it is a true tail of
-    (h, *). `head_tails_pad`: [n_entities, max_head_deg] padded true-tail
-    lists per head (pad = -1).
+    (h, *). `head_tails`: per-head true-tail membership table (padded
+    array or CSRMembership).
 
     Returns (h, r, pos_t, neg_t) each [n_batches, B_kg].
     """
@@ -166,5 +223,5 @@ def epoch_kg_batches(
     h = heads[idx]
     r = relations[idx]
     pos_t = tails[idx]
-    neg_t = sample_negatives_chunked(k_neg, h, head_tails_pad, n_entities, rounds)
+    neg_t = sample_negatives_chunked(k_neg, h, head_tails, n_entities, rounds)
     return h, r, pos_t, neg_t

@@ -139,7 +139,7 @@ class Trainer:
                 step_rngs = jax.random.split(k_steps, batches[0].shape[0])
                 return scan_steps(params, opt_state, extras, batches, step_rngs)
             users, pos, neg = epoch_pairwise_batches(
-                k_cf, cf.edge_u, cf.edge_i, cf.rated_pad, cf.n_items,
+                k_cf, cf.edge_u, cf.edge_i, cf.rated_csr, cf.n_items,
                 cfg.batch_size, cfg.neg_resample_rounds,
             )
             n_batches = users.shape[0]
@@ -147,7 +147,7 @@ class Trainer:
                 kg = bundle.kg
                 h, r, pt, nt = epoch_kg_batches(
                     k_kg, kg.att_h[: kg.n_kg_train], kg.att_r[: kg.n_kg_train],
-                    kg.att_t[: kg.n_kg_train], kg.head_tails_pad, kg.n_entities,
+                    kg.att_t[: kg.n_kg_train], kg.head_tails, kg.n_entities,
                     n_batches, cfg.batch_size_kg, cfg.neg_resample_rounds,
                 )
                 batches = (users, pos, neg, h, r, pt, nt)
@@ -177,7 +177,7 @@ class Trainer:
         def epoch_fn(params, opt_state, extras, rng):
             k_cf, k_kg, k_s1, k_s2 = jax.random.split(rng, 4)
             users, pos, neg = epoch_pairwise_batches(
-                k_cf, cf.edge_u, cf.edge_i, cf.rated_pad, cf.n_items,
+                k_cf, cf.edge_u, cf.edge_i, cf.rated_csr, cf.n_items,
                 cfg.batch_size, cfg.neg_resample_rounds,
             )
             cf_rngs = jax.random.split(k_s1, users.shape[0])
@@ -198,7 +198,7 @@ class Trainer:
 
             h, r, pt, nt = epoch_kg_batches(
                 k_kg, kg.att_h[: kg.n_kg_train], kg.att_r[: kg.n_kg_train],
-                kg.att_t[: kg.n_kg_train], kg.head_tails_pad, kg.n_entities,
+                kg.att_t[: kg.n_kg_train], kg.head_tails, kg.n_entities,
                 n_kg_batches, cfg.batch_size_kg, cfg.neg_resample_rounds,
             )
             kg_rngs = jax.random.split(k_s2, n_kg_batches)

@@ -60,3 +60,44 @@ def test_epoch_batches_shuffle_differs_by_seed(tiny_dataset):
         jax.random.PRNGKey(2), dev.edge_u, dev.edge_i, dev.rated_pad, inter.n_items, 128
     )
     assert not np.array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_csr_membership_matches_padded(tiny_dataset):
+    from hypergraph_diffusion_for_recommendation_tpu.ops.sampling import (
+        CSRMembership,
+        membership_from_lists,
+    )
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter)
+    assert isinstance(dev.rated_csr, CSRMembership)
+    rng = np.random.default_rng(3)
+    users = rng.integers(0, inter.n_users, size=4096).astype(np.int32)
+    cands = rng.integers(0, inter.n_items, size=4096).astype(np.int32)
+    # force half the candidates to be true members
+    rated = inter.rated_lists()
+    for k in range(0, 4096, 2):
+        row = rated[users[k]]
+        if len(row):
+            cands[k] = row[rng.integers(len(row))]
+    got_csr = np.asarray(is_rated(dev.rated_csr, users, cands))
+    got_pad = np.asarray(is_rated(dev.rated_pad, users, cands))
+    assert np.array_equal(got_csr, got_pad)
+    # empty-row handling: a user id past the table end of lists
+    empty = membership_from_lists([np.empty(0, np.int64), np.array([5, 1])])
+    got = np.asarray(
+        is_rated(empty, np.array([0, 1, 1], np.int32), np.array([5, 5, 2], np.int32))
+    )
+    assert got.tolist() == [False, True, False]
+
+
+def test_negatives_avoid_history_csr(tiny_dataset):
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    dev = build_cf_device_data(inter)
+    rng = jax.random.PRNGKey(0)
+    users = dev.edge_u[:512]
+    negs = sample_negatives(rng, users, dev.rated_csr, inter.n_items, rounds=8)
+    bad = np.asarray(is_rated(dev.rated_pad, users, negs))
+    assert bad.sum() == 0
