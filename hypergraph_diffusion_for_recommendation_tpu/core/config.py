@@ -71,6 +71,12 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for large-scale runs
     use_pallas: str = "auto"  # auto | always | never
+    # max train steps per device execution (0 = auto). The axon TPU
+    # worker faults when ONE execution's cumulative pallas DMA traffic
+    # crosses ~2^40 bytes (empirically bisected, scripts/bisect_pallas.py
+    # --scan); auto splits the epoch scan into chunked executions that
+    # stay under a 2^38-byte budget (HGDR_PALLAS_EXEC_BUDGET).
+    scan_chunk_steps: int = 0
     neg_resample_rounds: int = 8  # on-device rejection-free redraw rounds
     shard_min_rows: int = 1024  # min table rows before row-sharding kicks in
     eval_user_batch: int = 512  # users scored per eval block

@@ -42,13 +42,14 @@ class AdjPair:
 
 
 PALLAS_MIN_NNZ = 32768
-# upper guard: a ~1.9M-nnz power-law adjacency (ML-1M scale) produced a
-# TPU worker fault in round 1. A standalone bisect (scripts/bisect_pallas.py)
-# since cleared the raw kernel at 1.9M nnz / 396k-deep revisit chains /
-# d∈{64,128} / f32+bf16 / square+rect, pointing at whole-model composition
-# or a transient backend issue rather than the kernel. The guard stays as
-# a safety valve, overridable for scale runs via HGDR_PALLAS_MAX_NNZ.
-PALLAS_MAX_NNZ = int(os.environ.get("HGDR_PALLAS_MAX_NNZ", 1_500_000))
+# upper guard: round 1's ML-1M-scale worker fault was bisected to a
+# per-EXECUTION cumulative pallas-DMA limit of the axon backend
+# (~2^40 bytes), not an nnz limit — see BENCH_NOTES.md and the chunked
+# execution path in train/trainer.py, which bounds every epoch execution
+# under a 2^38-byte budget. With that in place the guard is a loose
+# safety valve only (64M nnz ≈ one Chrome-scale graph per matrix),
+# overridable via HGDR_PALLAS_MAX_NNZ.
+PALLAS_MAX_NNZ = int(os.environ.get("HGDR_PALLAS_MAX_NNZ", 64_000_000))
 # module-level compute-mode switches consumed at device-data build time
 # (set from Config.compute_dtype / Config.use_pallas by the CLI/bench)
 PALLAS_BF16 = False

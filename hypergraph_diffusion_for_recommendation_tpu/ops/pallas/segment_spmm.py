@@ -33,17 +33,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from flax import struct
 
-EDGE_BLOCK = 1024
-ROW_BLOCK = 256
+import os
+
+# default tile sizes; override per-layout via pack_blocked(edge_block=,
+# row_block=) or globally via env (tuning harness: scripts/bisect_pallas.py)
+EDGE_BLOCK = int(os.environ.get("HGDR_EDGE_BLOCK", 1024))
+ROW_BLOCK = int(os.environ.get("HGDR_ROW_BLOCK", 256))
 
 
 @struct.dataclass
 class BlockedCOO:
     """Row-window aligned edge-block layout."""
 
-    cols: jnp.ndarray  # [n_blocks, EDGE_BLOCK] int32 (pad 0 with val 0)
-    vals: jnp.ndarray  # [n_blocks, EDGE_BLOCK] f32
-    local_rows: jnp.ndarray  # [n_blocks, EDGE_BLOCK] int32 in [0, ROW_BLOCK); pad = ROW_BLOCK
+    cols: jnp.ndarray  # [n_blocks, eb] int32 (pad 0 with val 0)
+    vals: jnp.ndarray  # [n_blocks, eb] f32
+    local_rows: jnp.ndarray  # [n_blocks, eb] int32 in [0, rb); pad = rb
     wmap: jnp.ndarray  # [n_blocks] int32 window id of each block (non-decreasing)
     src: jnp.ndarray  # [n_blocks, EDGE_BLOCK] int32 index into the source
     # padded-COO value array (pads point anywhere: local_row==ROW_BLOCK
@@ -57,40 +61,47 @@ class BlockedCOO:
     # relative error (single-pass MXU, f32 accumulation). Production
     # training mode; f32 default keeps eval/parity paths exact.
     bf16: bool = struct.field(pytree_node=False, default=False)
+    eb: int = struct.field(pytree_node=False, default=1024)  # edge block
+    rb: int = struct.field(pytree_node=False, default=256)  # row window
 
 
-def pack_blocked(rows, cols, vals, shape, bf16: bool = False) -> BlockedCOO:
+def pack_blocked(
+    rows, cols, vals, shape, bf16: bool = False,
+    edge_block: int | None = None, row_block: int | None = None,
+) -> BlockedCOO:
     """Host-side packing of sorted COO into row-window edge blocks.
 
     `rows` may include pad entries (row == shape[0]); live edges must be
     sorted by row. `src` records each packed slot's index in the INPUT
     arrays so current (possibly masked) values can be re-gathered.
     """
+    eb = EDGE_BLOCK if edge_block is None else edge_block
+    rb = ROW_BLOCK if row_block is None else row_block
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
     live_idx = np.nonzero(rows < shape[0])[0]
     rows_l, cols_l, vals_l = rows[live_idx], cols[live_idx], vals[live_idx]
 
-    n_windows = max(-(-shape[0] // ROW_BLOCK), 1)
-    starts = np.searchsorted(rows_l, np.arange(n_windows) * ROW_BLOCK, side="left")
+    n_windows = max(-(-shape[0] // rb), 1)
+    starts = np.searchsorted(rows_l, np.arange(n_windows) * rb, side="left")
     ends = np.append(starts[1:], rows_l.shape[0])
 
     blk_cols, blk_vals, blk_lrows, blk_src, wmap = [], [], [], [], []
     for w in range(n_windows):
         lo, hi = int(starts[w]), int(ends[w])
         n_w = hi - lo
-        n_blk = max(-(-n_w // EDGE_BLOCK), 1)  # >= 1 so the tile is written
+        n_blk = max(-(-n_w // eb), 1)  # >= 1 so the tile is written
         for b in range(n_blk):
-            s = lo + b * EDGE_BLOCK
-            e = min(s + EDGE_BLOCK, hi)
+            s = lo + b * eb
+            e = min(s + eb, hi)
             n = max(e - s, 0)
-            pad = EDGE_BLOCK - n
+            pad = eb - n
             blk_cols.append(np.concatenate([cols_l[s:e], np.zeros(pad, np.int64)]))
             blk_vals.append(np.concatenate([vals_l[s:e], np.zeros(pad, np.float32)]))
             blk_lrows.append(
                 np.concatenate(
-                    [rows_l[s:e] - w * ROW_BLOCK, np.full(pad, ROW_BLOCK, np.int64)]
+                    [rows_l[s:e] - w * rb, np.full(pad, rb, np.int64)]
                 )
             )
             blk_src.append(np.concatenate([live_idx[s:e], np.zeros(pad, np.int64)]))
@@ -106,14 +117,16 @@ def pack_blocked(rows, cols, vals, shape, bf16: bool = False) -> BlockedCOO:
         n_blocks=len(wmap),
         n_windows=n_windows,
         bf16=bf16,
+        eb=eb,
+        rb=rb,
     )
 
 
-def _segment_matmul_kernel(wmap_ref, lrows_ref, g_ref, out_ref):
+def _segment_matmul_kernel(wmap_ref, lrows_ref, g_ref, out_ref, *, eb, rb):
     b = pl.program_id(0)
-    lrows = lrows_ref[0]  # [EDGE_BLOCK, 1] (trailing 1 satisfies TPU tiling)
-    g = g_ref[0]  # [EDGE_BLOCK, d]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, ROW_BLOCK), 1)
+    lrows = lrows_ref[0]  # [eb, 1] (trailing 1 satisfies TPU tiling)
+    g = g_ref[0]  # [eb, d]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, rb), 1)
     onehot = (lrows == row_ids).astype(g.dtype)  # [E,1] vs [E,R]: pads match nothing
     # f32 operands: HIGHEST = exact 3-pass MXU (matches the XLA path and
     # still beats the scatter lowering). bf16 operands: single MXU pass
@@ -147,14 +160,14 @@ def _is_tpu() -> bool:
 def _packed_vals(blocked: BlockedCOO, vals: jnp.ndarray | None) -> jnp.ndarray:
     if vals is None:
         return blocked.vals.reshape(-1)
-    live = blocked.local_rows.reshape(-1) < ROW_BLOCK
+    live = blocked.local_rows.reshape(-1) < blocked.rb
     return jnp.where(live, vals[blocked.src.reshape(-1)], 0.0)
 
 
 def _global_rows(blocked: BlockedCOO) -> jnp.ndarray:
     lr = blocked.local_rows.reshape(-1)
-    w = jnp.repeat(blocked.wmap, EDGE_BLOCK)
-    return jnp.where(lr < ROW_BLOCK, w * ROW_BLOCK + lr, blocked.nrows)
+    w = jnp.repeat(blocked.wmap, blocked.eb)
+    return jnp.where(lr < blocked.rb, w * blocked.rb + lr, blocked.nrows)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -173,27 +186,28 @@ def _blocked_spmm_fwd_only(
     if interpret is None:
         interpret = not _is_tpu()
     nb = blocked.n_blocks
+    eb, rb = blocked.eb, blocked.rb
     d = x.shape[1]
     v = _packed_vals(blocked, vals)
     gathered = x[blocked.cols.reshape(-1)] * v[:, None].astype(x.dtype)
     gdtype = jnp.bfloat16 if blocked.bf16 else jnp.float32
-    gathered = gathered.reshape(nb, EDGE_BLOCK, d).astype(gdtype)
+    gathered = gathered.reshape(nb, eb, d).astype(gdtype)
 
-    lrows = blocked.local_rows.reshape(nb, EDGE_BLOCK, 1)
+    lrows = blocked.local_rows.reshape(nb, eb, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             # trailing singleton dim satisfies the TPU block-tiling rule
-            pl.BlockSpec((1, EDGE_BLOCK, 1), lambda b, wmap: (b, 0, 0)),
-            pl.BlockSpec((1, EDGE_BLOCK, d), lambda b, wmap: (b, 0, 0)),
+            pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda b, wmap: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ROW_BLOCK, d), lambda b, wmap: (wmap[b], 0, 0)),
+        out_specs=pl.BlockSpec((1, rb, d), lambda b, wmap: (wmap[b], 0, 0)),
     )
     out = pl.pallas_call(
-        _segment_matmul_kernel,
+        partial(_segment_matmul_kernel, eb=eb, rb=rb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((blocked.n_windows, ROW_BLOCK, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((blocked.n_windows, rb, d), jnp.float32),
         interpret=interpret,
     )(blocked.wmap, lrows, gathered)
     return out.reshape(-1, d)[: blocked.nrows].astype(x.dtype)
@@ -223,7 +237,7 @@ def _spmm_vjp_bwd(res, g):
     rows_g = _global_rows(blocked)
     cols = blocked.cols.reshape(-1)
     g_rows = g[jnp.clip(rows_g, 0, blocked.nrows - 1)]
-    live = (blocked.local_rows.reshape(-1) < ROW_BLOCK)[:, None].astype(g.dtype)
+    live = (blocked.local_rows.reshape(-1) < blocked.rb)[:, None].astype(g.dtype)
     g_rows = g_rows * live
     # dx[c] = sum_e vals[e] * g[row_e]
     dx = jax.ops.segment_sum(g_rows * v[:, None].astype(g.dtype), cols,

@@ -18,6 +18,7 @@ Parity points:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -31,6 +32,70 @@ from ..eval.metrics import metrics_to_host, ranking_metrics
 from ..models.base import ModelBundle
 from ..ops.sampling import epoch_kg_batches, epoch_pairwise_batches
 from .optim import PlateauState, make_optimizer, set_lr
+
+
+# Per-execution pallas DMA budget. Empirical finding (bisected with
+# scripts/bisect_pallas.py --scan on the axon remote TPU): a single
+# device execution whose pallas kernels move ~2^40 cumulative bytes
+# faults the TPU worker, independent of invocation count, grid-step
+# count, or wall-clock (a 245 s pure-XLA execution passes). 2^38 keeps
+# a 4x margin; epochs whose scan would exceed it run as several chunked
+# executions (a few extra dispatches per epoch, ~ms each).
+PALLAS_EXEC_BUDGET = int(os.environ.get("HGDR_PALLAS_EXEC_BUDGET", 2**38))
+# conservative pallas-kernel calls per train step per blocked layout
+# (fwd + custom-VJP bwd; HWNN wavelet chains are the worst case at 16)
+_CALLS_PER_STEP_EST = 24
+
+
+_MLIR_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+    "i64": 8, "ui64": 8, "i32": 4, "ui32": 4,
+    "i16": 2, "ui16": 2, "i8": 1, "ui8": 1, "i1": 1,
+}
+
+
+def _lowered_pallas_bytes(lowered_text: str) -> int:
+    """Sum operand+result tensor bytes over every pallas custom call in a
+    lowered StableHLO module — the EXACT per-execution DMA traffic of the
+    pallas kernels in one trace of the function (scan bodies appear once)."""
+    import re
+
+    total = 0
+    for sig in re.findall(
+        r"@tpu_custom_call.*?:\s*\(([^)]*)\)\s*->\s*(.+)", lowered_text
+    ):
+        for shape, dtype in re.findall(r"tensor<([\dx]*)x?([a-z]+[0-9]*)>", " , ".join(sig)):
+            n = 1
+            for dim in shape.split("x"):
+                if dim:
+                    n *= int(dim)
+            total += n * _MLIR_DTYPE_BYTES.get(dtype, 4)
+    return total
+
+
+def _pallas_step_bytes(bundle, cfg) -> int:
+    """Estimated pallas DMA bytes ONE training step moves, from the
+    blocked layouts attached to the bundle's device data. Overestimates
+    by design (smaller chunks only cost extra dispatches)."""
+    from ..ops.pallas.segment_spmm import BlockedCOO
+
+    blocked = [
+        leaf
+        for leaf in jax.tree.leaves(
+            (bundle.cf, bundle.kg),
+            is_leaf=lambda x: isinstance(x, BlockedCOO),
+        )
+        if isinstance(leaf, BlockedCOO)
+    ]
+    if not blocked:
+        return 0
+    d_est = max(cfg.hyper_dim, cfg.embedding_size, cfg.input_dim)
+    total = 0
+    for b in blocked:
+        gsize = 2 if b.bf16 else 4
+        per_call = b.n_blocks * (b.eb * (d_est * gsize + 4) + b.rb * d_est * 4)
+        total += per_call * _CALLS_PER_STEP_EST
+    return total
 
 
 @dataclass
@@ -72,6 +137,10 @@ class Trainer:
             )
             self.extras = jax.device_put(self.extras, replicated(mesh))
         self.plateau = PlateauState(lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience)
+        if bundle.batch_kind == "sequence":
+            self.n_batches = -(-bundle.seq.seq.shape[0] // cfg.batch_size)
+        else:
+            self.n_batches = -(-bundle.cf.n_train // cfg.batch_size)
         if bundle.alternating:
             # KGAT: two Adam instances over the same params (KGAT.py:66-67)
             self.kg_opt = make_optimizer(cfg.lrate, cfg.weight_decay)
@@ -83,14 +152,66 @@ class Trainer:
                 lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience
             )
             self._epoch_fn = jax.jit(self._build_alternating_epoch_fn())
+            self._chunk_steps = 0
         else:
             self.opt_state = self.opt.init(self.params)
-            self._epoch_fn = jax.jit(self._build_epoch_fn())
+            self._chunk_steps = self._resolve_chunk_steps()
+            if self._chunk_steps:
+                self._epoch_fn = None
+                self._sample_fn = jax.jit(self._build_sample_fn())
+                self._chunk_fn = jax.jit(self._build_chunk_fn())
+                self._setup_fn = (
+                    jax.jit(bundle.epoch_setup) if bundle.epoch_setup is not None else None
+                )
+            else:
+                self._epoch_fn = jax.jit(self._build_epoch_fn())
         self._eval_fn = jax.jit(self._build_eval_fn())
+
+    def _resolve_chunk_steps(self) -> int:
+        """Steps per device execution: 0 = whole epoch in one execution.
+
+        Chunks whenever the estimated cumulative pallas DMA traffic of a
+        full-epoch scan would cross PALLAS_EXEC_BUDGET (the ~2^40-byte
+        worker-fault threshold, with 4x margin)."""
+        cfg = self.cfg
+        if cfg.scan_chunk_steps > 0:
+            return cfg.scan_chunk_steps if cfg.scan_chunk_steps < self.n_batches else 0
+        # cheap screen first (no lowering when nothing is blocked)
+        if _pallas_step_bytes(self.bundle, cfg) == 0:
+            return 0
+        est = self._measured_step_bytes()
+        if est == 0:
+            # fallback: the conservative static estimate
+            est = _pallas_step_bytes(self.bundle, cfg)
+        per_exec = max(int(PALLAS_EXEC_BUDGET // est), 1)
+        return per_exec if per_exec < self.n_batches else 0
+
+    def _measured_step_bytes(self) -> int:
+        """Lower ONE train step (grad of batch_loss) locally and read the
+        exact pallas DMA bytes from its StableHLO — no device compile."""
+        import jax.numpy as _jnp
+
+        bundle = self.bundle
+        cfg = self.cfg
+        sds = lambda shape: jax.ShapeDtypeStruct(shape, _jnp.int32)
         if bundle.batch_kind == "sequence":
-            self.n_batches = -(-bundle.seq.seq.shape[0] // cfg.batch_size)
+            L = bundle.seq.seq.shape[1]
+            b = (sds((cfg.batch_size, L)),) * 4 + (
+                jax.ShapeDtypeStruct((cfg.batch_size,), _jnp.bool_),
+            )
+        elif bundle.uses_kg:
+            b = (sds((cfg.batch_size,)),) * 3 + (sds((cfg.batch_size_kg,)),) * 4
         else:
-            self.n_batches = -(-bundle.cf.n_train // cfg.batch_size)
+            b = (sds((cfg.batch_size,)),) * 3
+        try:
+            lowered = jax.jit(
+                lambda p, e, batch, k: jax.value_and_grad(
+                    bundle.batch_loss, has_aux=True
+                )(p, e, batch, k)
+            ).lower(self.params, self.extras, b, jax.random.PRNGKey(0))
+            return _lowered_pallas_bytes(lowered.as_text())
+        except Exception:
+            return 0
 
     # ------------------------------------------------------------------
     def _build_epoch_fn(self):
@@ -157,6 +278,113 @@ class Trainer:
             return scan_steps(params, opt_state, extras, batches, step_rngs)
 
         return epoch_fn
+
+    def _build_sample_fn(self):
+        """Epoch batch construction alone (the sampling half of
+        _build_epoch_fn) — used by the chunked-execution path. Splits the
+        epoch key exactly like epoch_fn so chunked and single-execution
+        training are step-for-step identical."""
+        bundle = self.bundle
+        cfg = self.cfg
+        cf = bundle.cf
+
+        def sample_fn(rng):
+            k_cf, k_kg, k_steps, _ = jax.random.split(rng, 4)
+            if bundle.batch_kind == "sequence":
+                batches = _sequence_epoch_batches(
+                    k_cf, bundle.seq, cfg.batch_size, cfg.neg_resample_rounds
+                )
+            else:
+                users, pos, neg = epoch_pairwise_batches(
+                    k_cf, cf.edge_u, cf.edge_i, cf.rated_csr, cf.n_items,
+                    cfg.batch_size, cfg.neg_resample_rounds,
+                )
+                if bundle.uses_kg:
+                    kg = bundle.kg
+                    h, r, pt, nt = epoch_kg_batches(
+                        k_kg, kg.att_h[: kg.n_kg_train], kg.att_r[: kg.n_kg_train],
+                        kg.att_t[: kg.n_kg_train], kg.head_tails, kg.n_entities,
+                        users.shape[0], cfg.batch_size_kg, cfg.neg_resample_rounds,
+                    )
+                    batches = (users, pos, neg, h, r, pt, nt)
+                else:
+                    batches = (users, pos, neg)
+            step_rngs = jax.random.split(k_steps, batches[0].shape[0])
+            return batches, step_rngs
+
+        return sample_fn
+
+    def _build_chunk_fn(self):
+        """Fixed-length masked scan over a chunk of train steps — the
+        per-execution unit of the chunked path. `valid` masks padded
+        tail steps (params/opt/extras keep their old values), so a
+        chunked epoch is step-for-step identical to the single-execution
+        scan."""
+        bundle = self.bundle
+        opt = self.opt
+
+        def step(carry, xs):
+            params, opt_state, extras = carry
+            batch, srng, valid = xs[:-2], xs[-2], xs[-1]
+            k_up, k_loss = jax.random.split(srng)
+            new_extras = extras
+            if bundle.update_extras is not None:
+                new_extras = bundle.update_extras(params, extras, batch, k_up)
+            (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
+                params, new_extras, batch, k_loss
+            )
+            if isinstance(aux, dict) and "_new_extras" in aux:
+                new_extras = aux.pop("_new_extras")
+            if bundle.grad_clip_norm is not None:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, bundle.grad_clip_norm / (gnorm + 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, new_opt = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+
+            def sel(new, old):
+                return jax.tree.map(lambda a, b: jnp.where(valid, a, b), new, old)
+
+            params = sel(new_params, params)
+            opt_state = sel(new_opt, opt_state)
+            extras = sel(new_extras, extras)
+            vf = valid.astype(jnp.float32)
+            aux = {k2: v * vf for k2, v in aux.items()}
+            return (params, opt_state, extras), (loss * vf, aux)
+
+        def chunk_fn(params, opt_state, extras, batches, step_rngs, valid):
+            (params, opt_state, extras), (losses, auxes) = jax.lax.scan(
+                step, (params, opt_state, extras), batches + (step_rngs, valid)
+            )
+            return params, opt_state, extras, jnp.sum(losses), jax.tree.map(jnp.sum, auxes)
+
+        return chunk_fn
+
+    def _run_epoch_chunked(self, k: jax.Array) -> tuple[float, dict]:
+        if self._setup_fn is not None:
+            k_setup = jax.random.split(k, 4)[3]
+            self.extras = self._setup_fn(self.params, self.extras, k_setup)
+        batches, step_rngs = self._sample_fn(k)
+        n = batches[0].shape[0]
+        L = self._chunk_steps
+        n_chunks = -(-n // L)
+        base = jnp.arange(L)
+        loss_sum = 0.0
+        aux_sum: dict | None = None
+        for c in range(n_chunks):
+            pos_ids = base + c * L
+            idx = pos_ids % n
+            valid = pos_ids < n
+            cb = tuple(b[idx] for b in batches)
+            self.params, self.opt_state, self.extras, ls, asum = self._chunk_fn(
+                self.params, self.opt_state, self.extras, cb, step_rngs[idx], valid
+            )
+            loss_sum += float(ls)
+            a = {k2: float(v) for k2, v in asum.items()}
+            aux_sum = a if aux_sum is None else {k2: aux_sum[k2] + a[k2] for k2 in a}
+        loss = loss_sum / n
+        aux = {k2: v / n for k2, v in (aux_sum or {}).items()}
+        return loss, aux
 
     def _build_alternating_epoch_fn(self):
         """KGAT flavour: CF scan (CF Adam) then KG scan (KG Adam)."""
@@ -268,9 +496,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int) -> tuple[float, dict]:
         self.rng, k = jax.random.split(self.rng)
-        self.params, self.opt_state, self.extras, loss, aux = self._epoch_fn(
-            self.params, self.opt_state, self.extras, k
-        )
+        if self._epoch_fn is None:
+            loss, aux = self._run_epoch_chunked(k)
+        else:
+            self.params, self.opt_state, self.extras, loss, aux = self._epoch_fn(
+                self.params, self.opt_state, self.extras, k
+            )
         # attention refresh AFTER the phases (KGAT.py:128-133: epoch 1 runs
         # with the zero-initialised A_in, attention learned afterwards)
         if self.bundle.epoch_update_extras is not None:

@@ -117,17 +117,43 @@ def main():
     )
     stage(4, "full HGNN_HD3 batch_loss grad (1 step)", lambda: g_e(params, jax.random.PRNGKey(4)))
 
-    # --- F: 20 steps under lax.scan ---------------------------------------
+    # --- F: N steps under lax.scan (run-length probe) ---------------------
     def f_step(pp, k):
         g = jax.grad(lambda q: bundle.batch_loss(q, extras, (users, pos, neg), k)[0])(pp)
         return jax.tree.map(lambda a, b: a - 1e-4 * b, pp, g), 0.0
 
-    @jax.jit
-    def f_scan(pp, k0):
-        ks = jax.random.split(k0, 20)
-        return jax.lax.scan(f_step, pp, ks)[0]
+    def f_scan_n(n):
+        @jax.jit
+        def f_scan(pp, k0):
+            ks = jax.random.split(k0, n)
+            return jax.lax.scan(f_step, pp, ks)[0]
 
-    stage(5, "20-step lax.scan of batch_loss grad", lambda: f_scan(params, jax.random.PRNGKey(5)))
+        return lambda: f_scan(params, jax.random.PRNGKey(5))
+
+    stage(5, "20-step lax.scan of batch_loss grad", f_scan_n(20))
+    stage(7, "100-step lax.scan (SGD, fixed batch)", f_scan_n(100))
+    stage(8, "386-step lax.scan (SGD, fixed batch)", f_scan_n(386))
+
+    # --- I: epoch sampling + 386-step scan (still SGD) ---------------------
+    def i_run(k0):
+        from hypergraph_diffusion_for_recommendation_tpu.ops.sampling import (
+            epoch_pairwise_batches,
+        )
+
+        k_cf, k_s = jax.random.split(k0)
+        us, ps, ns = epoch_pairwise_batches(
+            k_cf, cf.edge_u, cf.edge_i, cf.rated_csr, cf.n_items, 2048
+        )
+
+        def step2(pp, xs):
+            u, p_, n_, k = xs
+            g = jax.grad(lambda q: bundle.batch_loss(q, extras, (u, p_, n_), k)[0])(pp)
+            return jax.tree.map(lambda a, b: a - 1e-4 * b, pp, g), 0.0
+
+        ks = jax.random.split(k_s, us.shape[0])
+        return jax.lax.scan(step2, params, (us, ps, ns, ks))[0]
+
+    stage(9, "sampled epoch + 386-step scan (SGD)", lambda: jax.jit(i_run)(jax.random.PRNGKey(6)))
 
     # --- G: the real trainer epoch (386 steps, known to crash) -----------
     def g_run():

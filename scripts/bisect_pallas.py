@@ -50,6 +50,8 @@ def main():
                     help="run N grad steps inside lax.scan (mimics the epoch loop)")
     ap.add_argument("--twohop", action="store_true",
                     help="A @ (A^T @ X) through spmm_pair/AdjPair (the HGCNConv path)")
+    ap.add_argument("--eb", type=int, default=None, help="edge block size")
+    ap.add_argument("--rb", type=int, default=None, help="row window size")
     args = ap.parse_args()
     m = args.m or args.n
 
@@ -68,7 +70,8 @@ def main():
     top_row_count = int(np.max(np.bincount(rows, minlength=args.n)))
     print(f"top-row degree (revisit-chain proxy): {top_row_count}", flush=True)
 
-    blocked = pack_blocked(rows, cols, vals, (args.n, m), bf16=args.bf16)
+    blocked = pack_blocked(rows, cols, vals, (args.n, m), bf16=args.bf16,
+                           edge_block=args.eb, row_block=args.rb)
     print(f"n_blocks={blocked.n_blocks} n_windows={blocked.n_windows}", flush=True)
 
     x = jnp.asarray(rng.standard_normal((m, args.d)).astype(np.float32))

@@ -67,6 +67,8 @@ def main():
         max_epoch=args.epochs, early_stopping_steps=args.epochs + 1,
     )
     tr = Trainer(build_model(cfg, cf_dev, kg_dev))
+    print(f"chunked execution: {tr._chunk_steps or 'off'} steps/exec "
+          f"({tr.n_batches} batches/epoch)", flush=True)
     for ep in range(args.epochs):
         t0 = time.time()
         loss, aux = tr.run_epoch(ep)

@@ -80,3 +80,29 @@ def test_khgrec_modes_run(kg_setup):
         bundle = build_model(cfg, cf_dev, kg_dev)
         result = Trainer(bundle).fit(quiet=True)
         assert np.isfinite([r.losses["train_loss"] for r in result.history]).all()
+
+
+def test_khgrec_chunked_epoch_matches_single(kg_setup):
+    """Chunked execution must thread the per-step attention extras
+    (_new_extras) identically to the single-execution scan."""
+    import jax
+
+    inter, cf_dev, kg_dev = kg_setup
+
+    def run(chunk):
+        cfg = make_config(
+            "KHGRec", batch_size=256, batch_size_kg=512, hyper_dim=32,
+            relation_dim=16, item_ranking=(10, 20), eval_user_batch=64,
+            max_epoch=2, early_stopping_steps=5, scan_chunk_steps=chunk,
+        )
+        tr = Trainer(build_model(cfg, cf_dev, kg_dev), seed=5)
+        losses = [tr.run_epoch(ep)[0] for ep in range(2)]
+        return tr.params, tr.extras, losses, tr.n_batches
+
+    p1, e1, l1, nb = run(0)
+    p2, e2, l2, _ = run(max(nb // 2 - 1, 1))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(e1), jax.tree.leaves(e2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

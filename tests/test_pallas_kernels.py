@@ -53,3 +53,30 @@ def test_blocked_spmm_power_law(rng):
     got = np.asarray(blocked_spmm(blocked, jnp.asarray(x), interpret=True))
     want = sps.coo_matrix((vals, (rows, cols)), shape=(n, m)) @ x
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_blocked_spmm_tile_size_variants(rng):
+    """Forward + VJP must be exact for any (edge_block, row_block) tiling."""
+    import jax
+
+    mat = _random_csr(rng, 700, 500, 0.05)
+    coo = mat.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    rows, cols, vals = coo.row[order], coo.col[order], coo.data[order]
+    x = jnp.asarray(rng.standard_normal((500, 32)).astype(np.float32))
+    ref = jnp.asarray(mat @ np.asarray(x))
+
+    def loss_ref(xx):
+        gathered = xx[jnp.asarray(cols)] * jnp.asarray(vals)[:, None]
+        import jax.numpy as _jnp
+
+        y = jax.ops.segment_sum(gathered, jnp.asarray(rows), num_segments=700)
+        return _jnp.sum(y**2)
+
+    g_ref = jax.grad(loss_ref)(x)
+    for eb, rb in [(512, 128), (2048, 512), (4096, 1024)]:
+        blocked = pack_blocked(rows, cols, vals, mat.shape, edge_block=eb, row_block=rb)
+        got = blocked_spmm(blocked, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+        g = jax.grad(lambda xx: jnp.sum(blocked_spmm(blocked, xx, interpret=True) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-4)

@@ -55,3 +55,32 @@ def test_plateau_reduces_lr():
     for _ in range(3):
         p = p.step(1.0)  # no improvement
     assert p.lr == 0.5
+
+
+def test_chunked_epoch_matches_single_execution(tiny_dataset):
+    """The chunked-execution path (pallas DMA-budget mitigation) must be
+    step-for-step identical to the single-execution epoch scan."""
+    import jax
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+
+    def run(chunk):
+        cfg = make_config(
+            "LightGCN", batch_size=256, embedding_size=16, item_ranking=(10, 20),
+            eval_user_batch=64, max_epoch=3, early_stopping_steps=5,
+            scan_chunk_steps=chunk,
+        )
+        tr = Trainer(build_model(cfg, cf), seed=11)
+        losses = [tr.run_epoch(ep)[0] for ep in range(3)]
+        return tr.params, losses, tr.n_batches
+
+    p_single, l_single, nb = run(0)
+    # a chunk length that does NOT divide n_batches exercises the masked tail
+    chunk = max(nb // 2 - 1, 1)
+    assert nb % chunk != 0 or chunk < nb
+    p_chunked, l_chunked, _ = run(chunk)
+    np.testing.assert_allclose(np.asarray(l_single), np.asarray(l_chunked), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_chunked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
