@@ -7,6 +7,7 @@ from .types import (
     padded_rows_from_lists,
     to_scipy,
     transpose_coo,
+    with_new_vals,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "padded_rows_from_lists",
     "to_scipy",
     "transpose_coo",
+    "with_new_vals",
 ]

@@ -35,9 +35,12 @@ class SparseCOO:
     nrows: int = struct.field(pytree_node=False)
     ncols: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)  # true (unpadded) count
-    # optional pallas fast-path layout (ops/pallas/segment_spmm.py);
-    # `vals` above stays authoritative — the kernel re-gathers them via
-    # blocked.src, so dropout masks on `vals` flow through unchanged
+    # optional pallas fast-path layout (ops/pallas/segment_spmm.py).
+    # INVARIANT: blocked.vals must mirror `vals` (packed via blocked.src).
+    # Replace values ONLY through `with_new_vals` (or AdjPair.dropped),
+    # never `replace(vals=...)` directly — spmm reads the packed copy
+    # (a per-call packed re-gather of runtime vals measured ~4 ms at
+    # 240k nnz on TPU; syncing once per mutation amortises it away).
     blocked: object = None
 
     @property
@@ -47,6 +50,20 @@ class SparseCOO:
     @property
     def nnz_pad(self) -> int:
         return int(self.rows.shape[0])
+
+
+def with_new_vals(sp: SparseCOO, vals: jnp.ndarray) -> SparseCOO:
+    """Replace edge values, keeping the packed pallas layout in sync.
+
+    One gather per MUTATION (vs. one per spmm call); the packed copy is
+    what the kernel consumes. Always use this instead of
+    `sp.replace(vals=...)`."""
+    if sp.blocked is None:
+        return sp.replace(vals=vals)
+    b = sp.blocked
+    live = b.local_rows.reshape(-1) < b.rb
+    packed = jnp.where(live, vals[b.src.reshape(-1)], 0.0).reshape(b.vals.shape)
+    return sp.replace(vals=vals, blocked=b.replace(vals=packed))
 
 
 def from_scipy(mat, pad_multiple: int = 8, dtype=np.float32) -> SparseCOO:

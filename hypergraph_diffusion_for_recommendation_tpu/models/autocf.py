@@ -42,6 +42,7 @@ from flax import linen as nn
 from ..core.config import Config
 from ..data.device import CFDeviceData
 from ..ops.losses import bpr_loss, l2_reg_loss, unique_mask
+from ..core.types import with_new_vals
 from ..ops.sparse import renormalize_sym, segment_softmax, spmm
 from .base import ModelBundle, register_model
 
@@ -116,7 +117,7 @@ def _mask_subgraphs(rng, cf: CFDeviceData, seeds):
     cols = jnp.clip(raw.cols, 0, n - 1)
     removed = ball[rows] | ball[cols]
     kept_vals = jnp.where(removed, 0.0, raw.vals)
-    enc = renormalize_sym(raw.replace(vals=kept_vals))
+    enc = renormalize_sym(with_new_vals(raw, kept_vals))
 
     # masked-node pool = ball + keep_rate * N random nodes
     k1, k2, k3 = jax.random.split(rng, 3)
@@ -294,7 +295,7 @@ def _build_autocf_like(name: str, use_profiles: bool):
 
         def batch_loss(params, extras, batch, rng):
             users, pos, neg = batch
-            enc_adj = cf.adj.fwd.replace(vals=extras["enc_vals"])
+            enc_adj = with_new_vals(cf.adj.fwd, extras["enc_vals"])
             dec = (extras["dec_rows"], extras["dec_cols"], extras["dec_valid"])
             recon = 0.0
             if use_profiles:

@@ -19,13 +19,15 @@ def project_by_relation(x: jnp.ndarray, w: jnp.ndarray, r: jnp.ndarray) -> jnp.n
     """x[b] @ w[r[b]] without materialising per-row W gathers.
 
     x: [B, d]; w: [R, d, dr]; r: [B] -> [B, dr]. Computes all R
-    projections as one einsum (R small: MXU-efficient) and selects per
-    row — replaces torch.bmm over gathered W_r (KGAT.py:330-334).
+    projections as one einsum (R small: MXU-efficient), then selects per
+    row with a one-hot contraction — replaces torch.bmm over gathered
+    W_r (KGAT.py:330-334). The one-hot einsum stays on the MXU; the
+    earlier take_along_axis select lowered to a slow batched gather
+    (1.4 ms -> MXU-bound at bench shapes, scripts/profile_khgrec.py).
     """
     all_proj = jnp.einsum("bd,rdk->rbk", x, w)  # [R, B, dr]
-    return jnp.take_along_axis(
-        all_proj, r[None, :, None].astype(jnp.int32), axis=0
-    )[0]
+    onehot = jax.nn.one_hot(r, w.shape[0], dtype=x.dtype)  # [B, R]
+    return jnp.einsum("rbk,br->bk", all_proj, onehot)
 
 
 def attention_values(
@@ -40,8 +42,11 @@ def attention_values(
     v = sum((t W_r) * tanh(h W_r + r), -1)."""
     h_emb = entity_emb[jnp.clip(h, 0, entity_emb.shape[0] - 1)]
     t_emb = entity_emb[jnp.clip(t, 0, entity_emb.shape[0] - 1)]
-    r_mul_h = project_by_relation(h_emb, trans_m, r)
-    r_mul_t = project_by_relation(t_emb, trans_m, r)
+    # one batched projection for both operands (same relation vector)
+    both = project_by_relation(
+        jnp.concatenate([h_emb, t_emb], axis=0), trans_m, jnp.concatenate([r, r])
+    )
+    r_mul_h, r_mul_t = jnp.split(both, 2, axis=0)
     return jnp.sum(r_mul_t * jnp.tanh(r_mul_h + rel_emb[r]), axis=1)
 
 

@@ -225,9 +225,13 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
         from .kg_common import project_by_relation
 
         r_emb = p["relation_emb"][r]
-        r_mul_h = project_by_relation(ent_kg[h], p["trans_M"], r)
-        r_mul_pos = project_by_relation(ent_kg[pt], p["trans_M"], r)
-        r_mul_neg = project_by_relation(ent_kg[nt], p["trans_M"], r)
+        # one batched relation projection for h/pos/neg (same r vector)
+        proj3 = project_by_relation(
+            jnp.concatenate([ent_kg[h], ent_kg[pt], ent_kg[nt]], axis=0),
+            p["trans_M"],
+            jnp.concatenate([r, r, r]),
+        )
+        r_mul_h, r_mul_pos, r_mul_neg = jnp.split(proj3, 3, axis=0)
         pos_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_pos), axis=1)
         neg_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_neg), axis=1)
         kg_loss = jnp.mean(-jax.nn.log_sigmoid(neg_score - pos_score))

@@ -21,6 +21,7 @@ from flax import linen as nn
 from ..core.config import Config
 from ..data.device import CFDeviceData
 from ..ops.losses import bpr_loss, info_nce_masked, l2_reg_loss, unique_mask
+from ..core.types import with_new_vals
 from ..ops.sparse import renormalize_sym, spmm
 from .base import ModelBundle, register_model
 
@@ -36,7 +37,7 @@ class SGLModule(nn.Module):
         u = self.param("user_emb", nn.initializers.xavier_uniform(), (self.n_users, self.dim))
         i = self.param("item_emb", nn.initializers.xavier_uniform(), (self.n_items, self.dim))
         ego = jnp.concatenate([u, i], axis=0)
-        adj = cf.adj.fwd if view_vals is None else cf.raw_adj.fwd.replace(vals=view_vals)
+        adj = cf.adj.fwd if view_vals is None else with_new_vals(cf.raw_adj.fwd, view_vals)
         outs = [ego]
         for _ in range(self.n_layers):
             ego = spmm(adj, ego)
@@ -61,7 +62,7 @@ def _augmented_view_vals(rng: jax.Array, cf: CFDeviceData, drop_rate: float, aug
         edge_keep = jax.random.bernoulli(rng, 1.0 - drop_rate, cf.raw_int.fwd.vals.shape)
     int_vals = cf.raw_int.fwd.vals * edge_keep.astype(cf.raw_int.fwd.vals.dtype)
     bip_vals = int_vals[cf.bip_src]
-    return renormalize_sym(cf.raw_adj.fwd.replace(vals=bip_vals)).vals
+    return renormalize_sym(with_new_vals(cf.raw_adj.fwd, bip_vals)).vals
 
 
 @register_model("SGL")

@@ -12,7 +12,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.types import SparseCOO
+from ..core.types import SparseCOO, with_new_vals
+
+
+def hash_keep_mask(rng: jax.Array, ids: jnp.ndarray, keep_rate: float) -> jnp.ndarray:
+    """Counter-based Bernoulli(keep_rate) keep-mask over edge IDS.
+
+    murmur3-finalizer-style avalanche hash of (key, id): deterministic
+    per (key, edge id), so every layout of the same edge (fwd, transpose,
+    packed pallas blocks) evaluates the SAME draw purely elementwise on
+    its own constant id array — no runtime gathers. Statistical quality
+    is ample for dropout (full-avalanche finalizer); this is NOT the
+    threefry stream used elsewhere.
+    """
+    kd = jnp.asarray(rng)
+    if kd.dtype != jnp.uint32:
+        kd = jax.random.key_data(rng)
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    z = ids.astype(jnp.uint32) ^ kd[0]
+    z = z * jnp.uint32(0x9E3779B9)
+    z = z ^ (z >> 16)
+    z = z * jnp.uint32(0x85EBCA6B)
+    z = z ^ kd[-1]
+    z = z ^ (z >> 13)
+    z = z * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> 16)
+    return (z >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) < keep_rate
 
 
 def drop_edges(rng: jax.Array, adj: SparseCOO, keep_rate: float) -> SparseCOO:
@@ -25,7 +50,7 @@ def drop_edges(rng: jax.Array, adj: SparseCOO, keep_rate: float) -> SparseCOO:
         return adj
     mask = jax.random.bernoulli(rng, keep_rate, adj.vals.shape)
     vals = jnp.where(mask, adj.vals / keep_rate, 0.0)
-    return adj.replace(vals=vals)
+    return with_new_vals(adj, vals)
 
 
 def node_dropout_mask(rng: jax.Array, n_nodes: int, drop_rate: float) -> jnp.ndarray:
@@ -45,4 +70,4 @@ def drop_edges_by_nodes(rng: jax.Array, adj: SparseCOO, drop_rate: float) -> Spa
     rows_ok = keep_rows[jnp.clip(adj.rows, 0, adj.nrows - 1)]
     cols_ok = keep_cols[jnp.clip(adj.cols, 0, adj.ncols - 1)]
     vals = jnp.where(rows_ok & cols_ok, adj.vals, 0.0)
-    return adj.replace(vals=vals)
+    return with_new_vals(adj, vals)

@@ -49,10 +49,15 @@ class BlockedCOO:
     vals: jnp.ndarray  # [n_blocks, eb] f32
     local_rows: jnp.ndarray  # [n_blocks, eb] int32 in [0, rb); pad = rb
     wmap: jnp.ndarray  # [n_blocks] int32 window id of each block (non-decreasing)
-    src: jnp.ndarray  # [n_blocks, EDGE_BLOCK] int32 index into the source
-    # padded-COO value array (pads point anywhere: local_row==ROW_BLOCK
+    src: jnp.ndarray  # [n_blocks, eb] int32 index into the source
+    # padded-COO value array (pads point anywhere: local_row==rb
     # already excludes them) — lets callers re-gather CURRENT values so
     # edge dropout / on-device renormalisation compose with the kernel
+    canon: jnp.ndarray  # [n_blocks, eb] int32 CANONICAL edge id per slot
+    # (fwd-padded-COO index; transpose layouts compose t_perm with src).
+    # Counter-hash edge dropout evaluates its keep-mask on these ids
+    # ELEMENTWISE, so the same edge gets the same draw in every layout
+    # with zero runtime gathers (AdjPair.dropped)
     nrows: int = struct.field(pytree_node=False)
     ncols: int = struct.field(pytree_node=False)
     n_blocks: int = struct.field(pytree_node=False)
@@ -68,12 +73,15 @@ class BlockedCOO:
 def pack_blocked(
     rows, cols, vals, shape, bf16: bool = False,
     edge_block: int | None = None, row_block: int | None = None,
+    canon_map=None,
 ) -> BlockedCOO:
     """Host-side packing of sorted COO into row-window edge blocks.
 
     `rows` may include pad entries (row == shape[0]); live edges must be
     sorted by row. `src` records each packed slot's index in the INPUT
     arrays so current (possibly masked) values can be re-gathered.
+    `canon_map` (host int array over input positions) maps each slot to
+    its canonical edge id (defaults to identity, i.e. canon == src).
     """
     eb = EDGE_BLOCK if edge_block is None else edge_block
     rb = ROW_BLOCK if row_block is None else row_block
@@ -106,12 +114,15 @@ def pack_blocked(
             )
             blk_src.append(np.concatenate([live_idx[s:e], np.zeros(pad, np.int64)]))
             wmap.append(w)
+    src_np = np.stack(blk_src).astype(np.int64)
+    canon_np = src_np if canon_map is None else np.asarray(canon_map)[src_np]
     return BlockedCOO(
         cols=jnp.asarray(np.stack(blk_cols).astype(np.int32)),
         vals=jnp.asarray(np.stack(blk_vals).astype(np.float32)),
         local_rows=jnp.asarray(np.stack(blk_lrows).astype(np.int32)),
         wmap=jnp.asarray(np.asarray(wmap, np.int32)),
-        src=jnp.asarray(np.stack(blk_src).astype(np.int32)),
+        src=jnp.asarray(src_np.astype(np.int32)),
+        canon=jnp.asarray(canon_np.astype(np.int32)),
         nrows=int(shape[0]),
         ncols=int(shape[1]),
         n_blocks=len(wmap),

@@ -35,7 +35,10 @@ def spmm(a: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
     if a.blocked is not None:
         from .pallas.segment_spmm import blocked_spmm
 
-        return blocked_spmm(a.blocked, x, a.vals)
+        # blocked.vals are kept in sync with a.vals by with_new_vals /
+        # AdjPair.dropped — consuming them directly avoids a per-call
+        # packed re-gather (~4 ms at 240k nnz for runtime values)
+        return blocked_spmm(a.blocked, x, None)
     gathered = x[a.cols] * a.vals[:, None].astype(x.dtype)
     return jax.ops.segment_sum(
         gathered,
@@ -98,10 +101,12 @@ def renormalize_sym(a: SparseCOO) -> SparseCOO:
     """Recompute D^-1/2 A D^-1/2 on device from current (possibly
     edge-dropped) values — SGL re-normalises AFTER augmentation
     (SGL.py:145-147 -> ui_graph.py:86-93). Square matrices only."""
+    from ..core.types import with_new_vals
+
     deg = jax.ops.segment_sum(a.vals, a.rows, num_segments=a.nrows, indices_are_sorted=True)
     d_inv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
     vals = a.vals * d_inv[jnp.clip(a.rows, 0, a.nrows - 1)] * d_inv[jnp.clip(a.cols, 0, a.ncols - 1)]
-    return a.replace(vals=vals)
+    return with_new_vals(a, vals)
 
 
 def sp_dense_left(x: jnp.ndarray, a: SparseCOO) -> jnp.ndarray:

@@ -21,6 +21,8 @@ sys.path.insert(0, ".")
 
 
 def timeit(fn, *args, iters=20, warmup=3):
+    """Wall-clock per call (includes ~0.5 ms axon dispatch — fine for
+    >10 ms composites)."""
     import jax
 
     for _ in range(warmup):
@@ -30,6 +32,32 @@ def timeit(fn, *args, iters=20, warmup=3):
     for _ in range(iters):
         out = fn(*args)
     jax.block_until_ready(out)
+    return (time.time() - t0) / iters * 1e3
+
+
+def timeit_chained(fn, x, iters=50):
+    """Device time per call: `iters` dependency-chained invocations inside
+    ONE jitted scan, so the remote-dispatch floor is amortised away.
+    `fn` must map one float array to array(s) of any shape."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            y = fn(c)
+            eps = sum(
+                jnp.sum(l).astype(jnp.float32)
+                for l in jax.tree.leaves(y)
+                if jnp.issubdtype(l.dtype, jnp.floating)
+            )
+            return c + eps * 1e-30, 0.0
+
+        return jax.lax.scan(body, x0, None, length=iters)[0]
+
+    run(x).block_until_ready()
+    t0 = time.time()
+    run(x).block_until_ready()
     return (time.time() - t0) / iters * 1e3
 
 
@@ -96,11 +124,11 @@ def main():
     p = params["params"]
 
     # --- primitive blocks -------------------------------------------------
-    f_cf_twohop = jax.jit(lambda x: two_hop(cf_dev.adj.fwd, cf_dev.adj.bwd, x))
-    print(f"cf two_hop (1 conv): {timeit(f_cf_twohop, x_nodes):8.3f} ms", flush=True)
+    f_cf_twohop = lambda x: two_hop(cf_dev.adj.fwd, cf_dev.adj.bwd, x)
+    print(f"cf two_hop (1 conv): {timeit_chained(f_cf_twohop, x_nodes):8.3f} ms", flush=True)
 
-    f_kg_spmm = jax.jit(lambda x: spmm_pair(kg_dev.kg_adj.fwd, kg_dev.kg_adj.bwd, x))
-    print(f"kg spmm_pair (2 spmm): {timeit(f_kg_spmm, x_ent):8.3f} ms", flush=True)
+    f_kg_spmm = lambda x: spmm_pair(kg_dev.kg_adj.fwd, kg_dev.kg_adj.bwd, x)
+    print(f"kg spmm_pair (2 spmm): {timeit_chained(f_kg_spmm, x_ent):8.3f} ms", flush=True)
 
     def kg_layer(x):
         y = att_matvec_t(h, t, vals, x, n_ent)
@@ -108,17 +136,56 @@ def main():
         y = spmm_pair(kg_dev.kg_adj.fwd, kg_dev.kg_adj.bwd, y)
         return att_matvec(h, t, vals, y, n_ent)
 
-    print(f"kg att_conv layer (4 spmm + 2 att): {timeit(jax.jit(kg_layer), x_ent):8.3f} ms", flush=True)
+    print(f"kg att_conv layer (4 spmm + 2 att): {timeit_chained(kg_layer, x_ent):8.3f} ms", flush=True)
 
-    f_proj = jax.jit(lambda e: project_by_relation(e[h], p["trans_M"], r))
-    print(f"project_by_relation (1x): {timeit(f_proj, x_ent):8.3f} ms", flush=True)
+    f_proj = lambda e: project_by_relation(e[h], p["trans_M"], r)
+    print(f"project_by_relation (1x): {timeit_chained(f_proj, x_ent):8.3f} ms", flush=True)
 
-    f_attv = jax.jit(
-        lambda e: attention_softmax(
-            attention_values(e, p["relation_emb"], p["trans_M"], h, t, r), h, n_ent
-        )
+    f_attv = lambda e: attention_softmax(
+        attention_values(e, p["relation_emb"], p["trans_M"], h, t, r), h, n_ent
     )
-    print(f"attention values+softmax: {timeit(f_attv, x_ent):8.3f} ms", flush=True)
+    print(f"attention values+softmax: {timeit_chained(f_attv, x_ent):8.3f} ms", flush=True)
+
+    # --- encoder-level ------------------------------------------------------
+    from hypergraph_diffusion_for_recommendation_tpu.models.khgrec import KHGRecModule
+
+    module = KHGRecModule(
+        kg_dev.n_entities, kg_dev.n_relations, cf_dev.n_users,
+        cfg.hyper_dim, cfg.relation_dim, cfg.n_layers, cfg.p,
+    )
+    att0 = (extras["att_h"], extras["att_t"], extras["att_v"])
+    ek = jax.random.PRNGKey(9)
+
+    def _perturbed(e):
+        # thread the scan carry INTO the computation (same shape as the
+        # entity table) so loop-invariant code motion cannot hoist it
+        inner = dict(params["params"])
+        inner["user_entity_emb"] = inner["user_entity_emb"] + e * 1e-30
+        return {"params": inner}
+
+    def cf_fwd(e):
+        return module.apply(
+            _perturbed(e), cf_dev, kg_dev, 0.8, True,
+            method=KHGRecModule.cf_forward, rngs={"edges": ek, "dropout": ek},
+        )
+
+    print(f"cf_forward (train): {timeit_chained(cf_fwd, x_ent):8.3f} ms", flush=True)
+
+    def kg_fwd(e):
+        return module.apply(
+            _perturbed(e), kg_dev, att0, 0.8, True,
+            method=KHGRecModule.kg_forward, rngs={"edges": ek, "dropout": ek},
+        )
+
+    print(f"kg_forward (train): {timeit_chained(kg_fwd, x_ent):8.3f} ms", flush=True)
+
+    def full_fwd(e):
+        return module.apply(
+            _perturbed(e), cf_dev, kg_dev, att0, 0.8, True, True,
+            rngs={"edges": ek, "dropout": ek},
+        )
+
+    print(f"module full forward (train): {timeit_chained(full_fwd, x_ent):8.3f} ms", flush=True)
 
     # --- full loss fwd and grad -------------------------------------------
     users = jnp.arange(cfg.batch_size, dtype=jnp.int32) % cf_dev.n_users
@@ -130,10 +197,12 @@ def main():
     f_loss = jax.jit(lambda pp, ex: bundle.batch_loss(pp, ex, batch, rng)[0])
     print(f"batch_loss forward: {timeit(f_loss, params, extras):8.3f} ms", flush=True)
 
+    # NOTE: must RETURN the gradient tree or XLA dead-code-eliminates the
+    # whole backward pass and this measures the forward only
     f_grad = jax.jit(
-        lambda pp, ex: jax.value_and_grad(lambda q: bundle.batch_loss(q, ex, batch, rng)[0])(pp)[0]
+        lambda pp, ex: jax.grad(lambda q: bundle.batch_loss(q, ex, batch, rng)[0])(pp)
     )
-    print(f"batch_loss value_and_grad: {timeit(f_grad, params, extras):8.3f} ms", flush=True)
+    print(f"batch_loss grad: {timeit(f_grad, params, extras):8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

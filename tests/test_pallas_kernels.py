@@ -80,3 +80,72 @@ def test_blocked_spmm_tile_size_variants(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
         g = jax.grad(lambda xx: jnp.sum(blocked_spmm(blocked, xx, interpret=True) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-4)
+
+
+def _attach_blocked_pair(pair):
+    """Manually attach blocked layouts to an AdjPair (tests run on CPU
+    where _maybe_attach_blocked skips packing)."""
+    from hypergraph_diffusion_for_recommendation_tpu.ops.pallas.segment_spmm import (
+        pack_blocked,
+    )
+
+    f, b, tp = pair.fwd, pair.bwd, np.asarray(pair.t_perm)
+    fb = pack_blocked(np.asarray(f.rows), np.asarray(f.cols), np.asarray(f.vals), f.shape)
+    bb = pack_blocked(
+        np.asarray(b.rows), np.asarray(b.cols), np.asarray(b.vals), b.shape, canon_map=tp
+    )
+    return pair.replace(fwd=f.replace(blocked=fb), bwd=b.replace(blocked=bb))
+
+
+def test_with_new_vals_syncs_packed_layout(rng):
+    import jax
+    from hypergraph_diffusion_for_recommendation_tpu.core.types import with_new_vals
+    from hypergraph_diffusion_for_recommendation_tpu.data.device import make_adj_pair
+
+    mat = _random_csr(rng, 500, 300, 0.05).tocoo()
+    pair = _attach_blocked_pair(
+        make_adj_pair(mat.row, mat.col, mat.data, (500, 300))
+    )
+    new_vals = jnp.asarray(rng.standard_normal(pair.fwd.vals.shape[0]).astype(np.float32))
+    sp = with_new_vals(pair.fwd, new_vals)
+    x = jnp.asarray(rng.standard_normal((300, 32)).astype(np.float32))
+    got = blocked_spmm(sp.blocked, x, None, interpret=True)
+    ref = jax.ops.segment_sum(
+        x[sp.cols] * new_vals[:, None], sp.rows, num_segments=500
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_hash_dropout_consistent_across_layouts(rng):
+    """AdjPair.dropped must apply the SAME per-edge mask to fwd vals,
+    transposed vals, and both packed layouts (no runtime gathers)."""
+    import jax
+    from hypergraph_diffusion_for_recommendation_tpu.data.device import make_adj_pair
+
+    mat = _random_csr(rng, 400, 400, 0.05).tocoo()
+    pair = _attach_blocked_pair(make_adj_pair(mat.row, mat.col, mat.data, (400, 400)))
+    key = jax.random.PRNGKey(7)
+    d = pair.dropped(key, 0.7)
+
+    fv = np.asarray(d.fwd.vals)
+    # transpose consistency: bwd.vals == fwd.vals[t_perm]
+    np.testing.assert_allclose(np.asarray(d.bwd.vals), fv[np.asarray(pair.t_perm)])
+    # packed consistency: blocked.vals == fwd.vals[src] on live slots
+    for side in (d.fwd, d.bwd):
+        b = side.blocked
+        live = np.asarray(b.local_rows).reshape(-1) < b.rb
+        packed = np.asarray(b.vals).reshape(-1)
+        expect = np.asarray(side.vals)[np.asarray(b.src).reshape(-1)]
+        np.testing.assert_allclose(packed[live], expect[live])
+    # keep fraction near keep_rate, survivors rescaled by 1/keep
+    live_f = np.asarray(pair.fwd.vals) != 0
+    kept = fv[live_f] != 0
+    assert abs(kept.mean() - 0.7) < 0.06
+    np.testing.assert_allclose(
+        fv[live_f][kept], np.asarray(pair.fwd.vals)[live_f][kept] / 0.7, rtol=1e-6
+    )
+    # different keys -> different masks; same key -> identical
+    d2 = pair.dropped(jax.random.PRNGKey(8), 0.7)
+    assert not np.array_equal(np.asarray(d2.fwd.vals), fv)
+    d3 = pair.dropped(key, 0.7)
+    np.testing.assert_array_equal(np.asarray(d3.fwd.vals), fv)
