@@ -76,6 +76,9 @@ PALLAS_MAX_NNZ = int(os.environ.get("HGDR_PALLAS_MAX_NNZ", 64_000_000))
 # (set from Config.compute_dtype / Config.use_pallas by the CLI/bench)
 PALLAS_BF16 = False
 PALLAS_DISABLE = False
+# max bytes for a padded membership table before sampling falls back to
+# the O(nnz) CSR binary-search form (see build_kg_device_data)
+PAD_TABLE_BUDGET = int(os.environ.get("HGDR_PAD_TABLE_BUDGET", 256 * 1024 * 1024))
 
 
 def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals, canon_map=None) -> SparseCOO:
@@ -172,7 +175,7 @@ class CFDeviceData:
     edge_u: jnp.ndarray  # [n_train] int32
     edge_i: jnp.ndarray
     rated_pad: jnp.ndarray  # [U, max_deg] dense item ids, pad -1 (eval masking)
-    rated_csr: CSRMembership  # O(nnz) membership for negative sampling
+    rated_csr: CSRMembership  # O(nnz) membership (production fallback)
     eval_data: EvalData
     n_users: int = struct.field(pytree_node=False)
     n_items: int = struct.field(pytree_node=False)
@@ -181,6 +184,17 @@ class CFDeviceData:
     @property
     def n_nodes(self) -> int:
         return self.n_users + self.n_items
+
+    @property
+    def sample_membership(self):
+        """Membership table for negative sampling: the padded table when
+        it fits the budget (ONE row gather per test — TPU gathers are
+        row-rate-bound), else the O(nnz) CSR binary search."""
+        from .device import PAD_TABLE_BUDGET
+
+        if self.rated_pad.size * 4 <= PAD_TABLE_BUDGET:
+            return self.rated_pad
+        return self.rated_csr
 
 
 @struct.dataclass
@@ -196,7 +210,7 @@ class KGDeviceData:
     att_t_perm: jnp.ndarray  # transpose permutation over the SAME edge list
     att_h_t: jnp.ndarray  # transpose structure: rows (=tails) sorted, pad = n_entities
     att_t_t: jnp.ndarray  # transpose structure cols (=heads)
-    head_tails: CSRMembership  # exact per-head true-tail membership (O(n_kg))
+    head_tails: object  # per-head true-tail membership: padded array or CSRMembership
     user_idx: jnp.ndarray  # [n_users] entity ids of CF users (dense order)
     item_idx: jnp.ndarray  # [n_items] entity ids of CF items
     n_entities: int = struct.field(pytree_node=False)
@@ -320,13 +334,22 @@ def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceDa
     att_t_t = np.concatenate([h_s[t_order], np.zeros(pad, np.int32)])
     t_perm = np.concatenate([t_order, np.arange(n_kg, nnz_pad)]).astype(np.int32)
 
-    # exact per-head true-tail membership in O(n_kg) memory: the earlier
-    # padded [E, max_head_deg] table had to be width-capped at production
-    # scale (heads with huge fan-out from inverse-CF edges), losing
-    # acceptance-set exactness; the sorted-CSR binary-search form keeps
-    # the reference rejection sampler's semantics (util/sampler.py:50-57)
-    # with no cap.
-    head_tails = membership_from_lists(kg.head_tail_lists())
+    # exact per-head true-tail membership, representation chosen by
+    # memory: a padded [E, max_head_deg] table tests membership in ONE
+    # row gather (TPU gathers are row-rate-bound at ~4.4 ns/row, so the
+    # CSR binary search's ~12 scalar gathers per test cost ~12x); the
+    # sorted-CSR form is O(n_kg) memory for production fan-outs where
+    # the padded table would blow past the budget. Both are EXACT (no
+    # width cap) — acceptance sets match the reference rejection
+    # sampler (util/sampler.py:50-57).
+    ht_lists = kg.head_tail_lists()
+    max_w = max((len(l) for l in ht_lists), default=1)
+    if kg.n_entities * pad_to_multiple(max(max_w, 1), pad_multiple) * 4 <= PAD_TABLE_BUDGET:
+        head_tails = jnp.asarray(
+            padded_rows_from_lists(ht_lists, fill=-1, pad_multiple=pad_multiple)
+        )
+    else:
+        head_tails = membership_from_lists(ht_lists)
 
     return KGDeviceData(
         kg_adj=kg_adj,

@@ -111,13 +111,22 @@ def sample_negatives_chunked(
     n_items: int,
     rounds: int = 8,
 ) -> jnp.ndarray:
-    """sample_negatives over [n_chunks, B] rows via lax.map.
+    """sample_negatives over [n_chunks, B] rows.
 
-    The membership test gathers [B, max_deg] per redraw round; sampling a
-    whole epoch at once would materialise [n_chunks * B, max_deg]
-    (gigabytes for power-law histories at production scale). Mapping per
-    chunk caps the peak at one batch's gather.
+    CSR membership tables test via binary search (O(log deg) gathers of
+    [N] scalars), so the WHOLE epoch samples in one flat call — the
+    chunked lax.map serialised ~n_chunks tiny steps per epoch for no
+    benefit. Padded tables keep the per-chunk path: their membership
+    test gathers [B, max_deg] per redraw round, and one flat call would
+    materialise [n_chunks * B, max_deg] (gigabytes for power-law
+    histories at production scale).
     """
+    if isinstance(rated_pad, CSRMembership):
+        flat = sample_negatives(
+            rng, users_2d.reshape(-1), rated_pad, n_items, rounds
+        )
+        return flat.reshape(users_2d.shape)
+
     keys = jax.random.split(rng, users_2d.shape[0])
 
     def one(args):

@@ -260,7 +260,7 @@ class Trainer:
                 step_rngs = jax.random.split(k_steps, batches[0].shape[0])
                 return scan_steps(params, opt_state, extras, batches, step_rngs)
             users, pos, neg = epoch_pairwise_batches(
-                k_cf, cf.edge_u, cf.edge_i, cf.rated_csr, cf.n_items,
+                k_cf, cf.edge_u, cf.edge_i, cf.sample_membership, cf.n_items,
                 cfg.batch_size, cfg.neg_resample_rounds,
             )
             n_batches = users.shape[0]
@@ -296,7 +296,7 @@ class Trainer:
                 )
             else:
                 users, pos, neg = epoch_pairwise_batches(
-                    k_cf, cf.edge_u, cf.edge_i, cf.rated_csr, cf.n_items,
+                    k_cf, cf.edge_u, cf.edge_i, cf.sample_membership, cf.n_items,
                     cfg.batch_size, cfg.neg_resample_rounds,
                 )
                 if bundle.uses_kg:
@@ -405,7 +405,7 @@ class Trainer:
         def epoch_fn(params, opt_state, extras, rng):
             k_cf, k_kg, k_s1, k_s2 = jax.random.split(rng, 4)
             users, pos, neg = epoch_pairwise_batches(
-                k_cf, cf.edge_u, cf.edge_i, cf.rated_csr, cf.n_items,
+                k_cf, cf.edge_u, cf.edge_i, cf.sample_membership, cf.n_items,
                 cfg.batch_size, cfg.neg_resample_rounds,
             )
             cf_rngs = jax.random.split(k_s1, users.shape[0])
