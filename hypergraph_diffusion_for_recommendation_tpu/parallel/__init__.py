@@ -8,6 +8,7 @@ from .mesh import (
     replicated,
     row_sharded,
 )
+from .sharded_gcn import ShardedLightGCN, shard_rows_coo
 from .sharded_mf import ShardedMF
 from .topk import sharded_user_topk
 
@@ -22,5 +23,7 @@ __all__ = [
     "sharded_lookup",
     "sharded_scatter_add",
     "sharded_user_topk",
+    "ShardedLightGCN",
     "ShardedMF",
+    "shard_rows_coo",
 ]
