@@ -1,6 +1,8 @@
 """Grid-sweep runner (wandb-free parity with the reference's sweep.yml)."""
 import itertools, json, sys
 
+sys.path.insert(0, ".")
+
 def main(path="scripts/sweep.yml"):
     import yaml  # pyyaml is available via flax deps
     with open(path) as f:

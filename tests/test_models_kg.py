@@ -106,3 +106,34 @@ def test_khgrec_chunked_epoch_matches_single(kg_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
     for a, b in zip(jax.tree.leaves(e1), jax.tree.leaves(e2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_per_relation_adjacency_and_laplacians(tiny_kg_dataset):
+    """Parity with Knowledge.create_adjacency_dict / create_laplacian_dict
+    (reference data/knowledge.py:159-196)."""
+    import scipy.sparse as sp
+
+    train, test, kg_df = tiny_kg_dataset
+    inter = build_interaction(train, test)
+    kg = build_knowledge(kg_df, inter)
+    adjs = kg.adjacency_dict()
+    assert set(adjs) == set(np.unique(kg.r).tolist())
+    # per-relation triple counts add up, and each entry matches the triples
+    total = sum(int(a.nnz) for a in adjs.values())
+    # duplicate (h, r, t) triples collapse with summed weights in CSR
+    assert total <= kg.n_kg_train
+    r0 = int(np.unique(kg.r)[0])
+    m = kg.r == r0
+    want = sp.csr_matrix(
+        (np.ones(int(m.sum()), np.float32), (kg.h[m], kg.t[m])),
+        shape=(kg.n_entities, kg.n_entities),
+    )
+    assert (adjs[r0] != want).nnz == 0
+    # random-walk laplacian rows sum to 1 (or 0 for empty rows)
+    lap = kg.laplacian_dict("random-walk")[r0]
+    rs = np.asarray(lap.sum(axis=1)).flatten()
+    nz = rs[rs > 0]
+    np.testing.assert_allclose(nz, np.ones_like(nz), rtol=1e-5)
+    # symmetric variant is symmetric for a symmetric relation pattern
+    sym = kg.laplacian_dict("symmetric")[r0]
+    assert sym.shape == (kg.n_entities, kg.n_entities)
