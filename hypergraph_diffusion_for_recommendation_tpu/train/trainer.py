@@ -151,8 +151,14 @@ class Trainer:
             self.kg_plateau = PlateauState(
                 lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience
             )
-            self._epoch_fn = jax.jit(self._build_alternating_epoch_fn())
-            self._chunk_steps = 0
+            self._chunk_steps = self._resolve_chunk_steps_alternating()
+            if self._chunk_steps:
+                self._epoch_fn = None
+                self._alt_sample_fn = jax.jit(self._build_alt_sample_fn())
+                self._cf_chunk_fn = jax.jit(self._build_phase_chunk_fn("cf"))
+                self._kg_chunk_fn = jax.jit(self._build_phase_chunk_fn("kg"))
+            else:
+                self._epoch_fn = jax.jit(self._build_alternating_epoch_fn())
         else:
             self.opt_state = self.opt.init(self.params)
             self._chunk_steps = self._resolve_chunk_steps()
@@ -186,28 +192,62 @@ class Trainer:
         per_exec = max(int(PALLAS_EXEC_BUDGET // est), 1)
         return per_exec if per_exec < self.n_batches else 0
 
-    def _measured_step_bytes(self) -> int:
-        """Lower ONE train step (grad of batch_loss) locally and read the
-        exact pallas DMA bytes from its StableHLO — no device compile."""
+    def _resolve_chunk_steps_alternating(self):
+        """Per-phase chunk lengths for the KGAT-style alternating epoch:
+        (cf_steps, kg_steps), each 0 = that phase unchunked; returns None
+        when neither phase needs chunking."""
+        cfg = self.cfg
+        n_kg_batches = int(self.bundle.kg.n_kg_train // cfg.batch_size_kg + 1)
+        if cfg.scan_chunk_steps > 0:
+            cf_l = cfg.scan_chunk_steps if cfg.scan_chunk_steps < self.n_batches else 0
+            kg_l = cfg.scan_chunk_steps if cfg.scan_chunk_steps < n_kg_batches else 0
+            return (cf_l, kg_l) if (cf_l or kg_l) else None
+        if _pallas_step_bytes(self.bundle, cfg) == 0:
+            return None
+
+        def phase_len(loss_fn, batch_sds, n_steps):
+            est = self._measured_step_bytes(loss_fn, batch_sds)
+            if est == 0:
+                est = _pallas_step_bytes(self.bundle, cfg)
+            per_exec = max(int(PALLAS_EXEC_BUDGET // est), 1)
+            return per_exec if per_exec < n_steps else 0
+
+        cf_l = phase_len(self.bundle.batch_loss, self._cf_batch_sds(), self.n_batches)
+        kg_l = phase_len(self.bundle.kg_batch_loss, self._kg_batch_sds(), n_kg_batches)
+        if cf_l == 0 and kg_l == 0:
+            return None
+        return (cf_l, kg_l)
+
+    def _cf_batch_sds(self):
         import jax.numpy as _jnp
 
-        bundle = self.bundle
         cfg = self.cfg
         sds = lambda shape: jax.ShapeDtypeStruct(shape, _jnp.int32)
-        if bundle.batch_kind == "sequence":
-            L = bundle.seq.seq.shape[1]
-            b = (sds((cfg.batch_size, L)),) * 4 + (
+        if self.bundle.batch_kind == "sequence":
+            L = self.bundle.seq.seq.shape[1]
+            return (sds((cfg.batch_size, L)),) * 4 + (
                 jax.ShapeDtypeStruct((cfg.batch_size,), _jnp.bool_),
             )
-        elif bundle.uses_kg:
-            b = (sds((cfg.batch_size,)),) * 3 + (sds((cfg.batch_size_kg,)),) * 4
-        else:
-            b = (sds((cfg.batch_size,)),) * 3
+        if self.bundle.uses_kg and not self.bundle.alternating:
+            return (sds((cfg.batch_size,)),) * 3 + (sds((cfg.batch_size_kg,)),) * 4
+        return (sds((cfg.batch_size,)),) * 3
+
+    def _kg_batch_sds(self):
+        import jax.numpy as _jnp
+
+        sds = lambda shape: jax.ShapeDtypeStruct(shape, _jnp.int32)
+        return (sds((self.cfg.batch_size_kg,)),) * 4
+
+    def _measured_step_bytes(self, loss_fn=None, batch_sds=None) -> int:
+        """Lower ONE train step (grad of a batch loss) locally and read the
+        exact pallas DMA bytes from its StableHLO — no device compile."""
+        loss_fn = self.bundle.batch_loss if loss_fn is None else loss_fn
+        b = self._cf_batch_sds() if batch_sds is None else batch_sds
         try:
             lowered = jax.jit(
-                lambda p, e, batch, k: jax.value_and_grad(
-                    bundle.batch_loss, has_aux=True
-                )(p, e, batch, k)
+                lambda p, e, batch, k: jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, e, batch, k
+                )
             ).lower(self.params, self.extras, b, jax.random.PRNGKey(0))
             return _lowered_pallas_bytes(lowered.as_text())
         except Exception:
@@ -386,6 +426,102 @@ class Trainer:
         aux = {k2: v / n for k2, v in (aux_sum or {}).items()}
         return loss, aux
 
+    def _build_alt_sample_fn(self):
+        """Batch construction for the alternating epoch, key-split exactly
+        like _build_alternating_epoch_fn so chunked and single-execution
+        KGAT training match step-for-step."""
+        bundle = self.bundle
+        cfg = self.cfg
+        cf = bundle.cf
+        kg = bundle.kg
+        n_kg_batches = int(kg.n_kg_train // cfg.batch_size_kg + 1)
+
+        def sample_fn(rng):
+            k_cf, k_kg, k_s1, k_s2 = jax.random.split(rng, 4)
+            users, pos, neg = epoch_pairwise_batches(
+                k_cf, cf.edge_u, cf.edge_i, cf.sample_membership, cf.n_items,
+                cfg.batch_size, cfg.neg_resample_rounds,
+            )
+            cf_rngs = jax.random.split(k_s1, users.shape[0])
+            h, r, pt, nt = epoch_kg_batches(
+                k_kg, kg.att_h[: kg.n_kg_train], kg.att_r[: kg.n_kg_train],
+                kg.att_t[: kg.n_kg_train], kg.head_tails, kg.n_entities,
+                n_kg_batches, cfg.batch_size_kg, cfg.neg_resample_rounds,
+            )
+            kg_rngs = jax.random.split(k_s2, n_kg_batches)
+            return (users, pos, neg), cf_rngs, (h, r, pt, nt), kg_rngs
+
+        return sample_fn
+
+    def _build_phase_chunk_fn(self, phase: str):
+        """Masked fixed-length scan for ONE phase of the alternating epoch
+        (cf -> batch_loss + cf Adam; kg -> kg_batch_loss + kg Adam)."""
+        bundle = self.bundle
+        loss_fn = bundle.batch_loss if phase == "cf" else bundle.kg_batch_loss
+        opt = self.opt if phase == "cf" else self.kg_opt
+
+        def clip(grads):
+            if bundle.grad_clip_norm is None:
+                return grads
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, bundle.grad_clip_norm / (gnorm + 1e-6))
+            return jax.tree.map(lambda g: g * scale, grads)
+
+        def step(carry, xs):
+            params, ostate, extras = carry
+            *batch, srng, valid = xs
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, extras, tuple(batch), srng
+            )
+            updates, new_ostate = opt.update(clip(grads), ostate, params)
+            new_params = optax.apply_updates(params, updates)
+
+            def sel(new, old):
+                return jax.tree.map(lambda a, b: jnp.where(valid, a, b), new, old)
+
+            return (
+                sel(new_params, params), sel(new_ostate, ostate), extras,
+            ), loss * valid.astype(jnp.float32)
+
+        def chunk_fn(params, ostate, extras, batches, step_rngs, valid):
+            (params, ostate, _), losses = jax.lax.scan(
+                step, (params, ostate, extras), batches + (step_rngs, valid)
+            )
+            return params, ostate, jnp.sum(losses)
+
+        return chunk_fn
+
+    def _run_epoch_alternating_chunked(self, k: jax.Array) -> tuple[float, dict]:
+        cf_batches, cf_rngs, kg_batches, kg_rngs = self._alt_sample_fn(k)
+        cf_l, kg_l = self._chunk_steps
+
+        def run_phase(chunk_fn, ostate, batches, rngs, L):
+            n = batches[0].shape[0]
+            L = L or n
+            n_chunks = -(-n // L)
+            base = jnp.arange(L)
+            params = self.params
+            total = 0.0
+            for c in range(n_chunks):
+                pos_ids = base + c * L
+                idx = pos_ids % n
+                valid = pos_ids < n
+                cb = tuple(b[idx] for b in batches)
+                params, ostate, ls = chunk_fn(
+                    params, ostate, self.extras, cb, rngs[idx], valid
+                )
+                total += float(ls)
+            self.params = params
+            return ostate, total / n
+
+        self.opt_state["cf"], cf_loss = run_phase(
+            self._cf_chunk_fn, self.opt_state["cf"], cf_batches, cf_rngs, cf_l
+        )
+        self.opt_state["kg"], kg_loss = run_phase(
+            self._kg_chunk_fn, self.opt_state["kg"], kg_batches, kg_rngs, kg_l
+        )
+        return cf_loss + kg_loss, {"cf_loss": cf_loss, "kg_loss": kg_loss}
+
     def _build_alternating_epoch_fn(self):
         """KGAT flavour: CF scan (CF Adam) then KG scan (KG Adam)."""
         bundle = self.bundle
@@ -497,7 +633,10 @@ class Trainer:
     def run_epoch(self, epoch: int) -> tuple[float, dict]:
         self.rng, k = jax.random.split(self.rng)
         if self._epoch_fn is None:
-            loss, aux = self._run_epoch_chunked(k)
+            if self.bundle.alternating:
+                loss, aux = self._run_epoch_alternating_chunked(k)
+            else:
+                loss, aux = self._run_epoch_chunked(k)
         else:
             self.params, self.opt_state, self.extras, loss, aux = self._epoch_fn(
                 self.params, self.opt_state, self.extras, k

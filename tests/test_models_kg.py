@@ -137,3 +137,28 @@ def test_per_relation_adjacency_and_laplacians(tiny_kg_dataset):
     # symmetric variant is symmetric for a symmetric relation pattern
     sym = kg.laplacian_dict("symmetric")[r0]
     assert sym.shape == (kg.n_entities, kg.n_entities)
+
+
+def test_kgat_chunked_alternating_matches_single(kg_setup):
+    """Chunked alternating execution (per-phase masked scans) must match
+    the single-execution KGAT epoch step-for-step."""
+    import jax
+
+    inter, cf_dev, kg_dev = kg_setup
+
+    def run(chunk):
+        cfg = make_config(
+            "KGAT", batch_size=256, batch_size_kg=512, embedding_size=16,
+            relation_dim=16, conv_dim_list=(16, 8), mess_dropout=(0.1, 0.1),
+            item_ranking=(10, 20), eval_user_batch=64, max_epoch=2,
+            early_stopping_steps=5, lrate=0.01, scan_chunk_steps=chunk,
+        )
+        tr = Trainer(build_model(cfg, cf_dev, kg_dev), seed=9)
+        out = [tr.run_epoch(ep) for ep in range(2)]
+        return tr.params, [o[0] for o in out], tr.n_batches
+
+    p1, l1, nb = run(0)
+    p2, l2, _ = run(max(nb // 2 - 1, 1))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
