@@ -95,6 +95,97 @@ def export_graphsage_json(pairs: np.ndarray, out_dir: str, prefix: str = "intera
         json.dump(id_map, f)
 
 
+def make_kg_subset(
+    inter_file: str,
+    kg_file: str,
+    link_file: str,
+    out_prefix: str,
+    hop: int = 1,
+    relations: set[str] | None = None,
+) -> tuple[int, int]:
+    """n-hop KG subset around the interaction items' linked entities.
+
+    Capability parity with the reference's vendored conversion tool
+    (util/knowledge/conversion_tools/add_knowledge.py ->
+    KGDataset.generate_link/generate_knowledge): given interactions, a
+    full KG triple dump (h \\t r \\t t) and an item->entity link table,
+    writes `<out_prefix>.link` (links restricted to items that actually
+    appear in the interactions) and `<out_prefix>.kg` (every triple
+    within `hop` hops of the seed entities, frontier-expanded exactly
+    like extract_hop_graph: a triple joins when its head OR tail touches
+    the frontier). Returns (n_links, n_triples)."""
+    assert hop <= 3, "hop must be less than 4 (reference add_knowledge.py:24)"
+    pairs = load_data_set(inter_file)
+    items = {str(int(i)) for i in np.unique(pairs[:, 1].astype(np.int64))}
+
+    seed_link: dict[str, str] = {}
+    with open(link_file) as fp:
+        for line in fp:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2 or parts[1] == "entity_id:token":
+                continue
+            if parts[0] in items:
+                seed_link[parts[0]] = parts[1]
+
+    os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+    with open(out_prefix + ".link", "w") as fp:
+        fp.write("item_id:token\tentity_id:token\n")
+        for item, ent in seed_link.items():
+            fp.write(f"{item}\t{ent}\n")
+
+    frontier = set(seed_link.values())
+    history: set[str] = set()
+    kept: list[str] = []
+    seen: set[str] = set()
+    for _ in range(hop):
+        history |= frontier
+        new_frontier: set[str] = set()
+        with open(kg_file) as fp:
+            for line in fp:
+                h, r, t = line.rstrip("\n").split("\t")[:3]
+                if relations is not None and r not in relations:
+                    continue
+                if h in frontier or t in frontier:
+                    row = f"{h}\t{r}\t{t}\n"
+                    # deduped (the reference re-appends hop-k triples whose
+                    # endpoints re-enter the hop-k+1 frontier)
+                    if row not in seen:
+                        seen.add(row)
+                        kept.append(row)
+                    new_frontier.add(h)
+                    new_frontier.add(t)
+        frontier = new_frontier - history
+    with open(out_prefix + ".kg", "w") as fp:
+        fp.writelines(kept)
+    return len(seed_link), len(kept)
+
+
+def merge_edgelists(paths: list[str], out_path: str) -> int:
+    """Concatenate + dedupe edgelists (util/graph/merge_graphs.py role)."""
+    edges: set[tuple[str, str]] = set()
+    for p in paths:
+        with open(p) as fp:
+            for line in fp:
+                a = line.split()
+                if len(a) >= 2:
+                    edges.add((a[0], a[1]))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as fp:
+        for a, b in sorted(edges):
+            fp.write(f"{a} {b}\n")
+    return len(edges)
+
+
+def shuffle_interactions(path: str, out_path: str, seed: int = 0) -> None:
+    """Line-shuffle an interaction file (util/graph/shuffle_graph.py role)."""
+    with open(path) as fp:
+        lines = fp.readlines()
+    header, body = lines[:1], lines[1:]
+    np.random.default_rng(seed).shuffle(body)
+    with open(out_path, "w") as fp:
+        fp.writelines(header + body)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Dataset preparation tooling")
     p.add_argument("--dir", required=True)

@@ -89,3 +89,46 @@ def test_dataset_tools_roundtrip(tmp_path):
 
     g = json.load(open(os.path.join(d, "graphsage", "interaction-G.json")))
     assert len(g["links"]) == len(tr)
+
+
+def test_kg_subset_and_graph_utils(tmp_path):
+    """KG-linking capability parity (conversion_tools/add_knowledge.py):
+    n-hop frontier expansion from linked item entities."""
+    import os
+
+    import numpy as np
+
+    from hypergraph_diffusion_for_recommendation_tpu.utils import dataset_tools as dt
+
+    d = str(tmp_path)
+    inter = os.path.join(d, "inter.txt")
+    with open(inter, "w") as fp:
+        fp.write("user\titem\trating\n")
+        fp.write("1\t10\t1\n2\t11\t1\n3\t99\t1\n")
+    link = os.path.join(d, "links.tsv")
+    with open(link, "w") as fp:
+        fp.write("item_id:token\tentity_id:token\n")
+        fp.write("10\te10\n11\te11\n55\te55\n")  # 55 not in interactions
+    kg = os.path.join(d, "full.kg")
+    with open(kg, "w") as fp:
+        fp.write("e10\tr1\te20\n")   # hop 1 (seed e10)
+        fp.write("e20\tr1\te30\n")   # hop 2 (via e20)
+        fp.write("e30\tr1\te40\n")   # hop 3
+        fp.write("e55\tr1\te56\n")   # only reachable from non-seed e55
+    n_links, n1 = dt.make_kg_subset(inter, kg, link, os.path.join(d, "out1"), hop=1)
+    assert n_links == 2  # item 55's link filtered out
+    assert n1 == 1
+    lines1 = open(os.path.join(d, "out1.kg")).read().splitlines()
+    assert lines1 == ["e10\tr1\te20"]
+    _, n2 = dt.make_kg_subset(inter, kg, link, os.path.join(d, "out2"), hop=2)
+    assert n2 == 2  # frontier e20 pulls the second triple
+
+    # merge + shuffle utilities
+    e1 = os.path.join(d, "a.edgelist"); e2 = os.path.join(d, "b.edgelist")
+    open(e1, "w").write("1 2\n2 3\n")
+    open(e2, "w").write("2 3\n3 4\n")
+    n = dt.merge_edgelists([e1, e2], os.path.join(d, "m.edgelist"))
+    assert n == 3
+    dt.shuffle_interactions(inter, os.path.join(d, "sh.txt"), seed=1)
+    sh = open(os.path.join(d, "sh.txt")).read().splitlines()
+    assert sh[0].startswith("user") and sorted(sh[1:]) == sorted(open(inter).read().splitlines()[1:])
