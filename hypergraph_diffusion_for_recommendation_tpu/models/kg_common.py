@@ -30,6 +30,16 @@ def project_by_relation(x: jnp.ndarray, w: jnp.ndarray, r: jnp.ndarray) -> jnp.n
     return jnp.einsum("rbk,br->bk", all_proj, onehot)
 
 
+def relation_lookup(rel_emb: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """rel_emb[r] as a one-hot MXU contraction.
+
+    The relation table is tiny (R ~ 10) but a [B]-row XLA gather still
+    pays the ~0.6 ms fixed per-op cost; the one-hot matmul is ~10 us.
+    """
+    onehot = jax.nn.one_hot(r, rel_emb.shape[0], dtype=rel_emb.dtype)
+    return onehot @ rel_emb
+
+
 def attention_values(
     entity_emb: jnp.ndarray,
     rel_emb: jnp.ndarray,
@@ -40,14 +50,13 @@ def attention_values(
 ) -> jnp.ndarray:
     """KGAT attention logits per triple (Equation 4, KGAT.py:349-360):
     v = sum((t W_r) * tanh(h W_r + r), -1)."""
-    h_emb = entity_emb[jnp.clip(h, 0, entity_emb.shape[0] - 1)]
-    t_emb = entity_emb[jnp.clip(t, 0, entity_emb.shape[0] - 1)]
-    # one batched projection for both operands (same relation vector)
-    both = project_by_relation(
-        jnp.concatenate([h_emb, t_emb], axis=0), trans_m, jnp.concatenate([r, r])
-    )
+    n = entity_emb.shape[0]
+    # ONE merged h+t gather (fixed-cost gather ops) and one batched
+    # projection for both operands (same relation vector)
+    ht = entity_emb[jnp.clip(jnp.concatenate([h, t]), 0, n - 1)]
+    both = project_by_relation(ht, trans_m, jnp.concatenate([r, r]))
     r_mul_h, r_mul_t = jnp.split(both, 2, axis=0)
-    return jnp.sum(r_mul_t * jnp.tanh(r_mul_h + rel_emb[r]), axis=1)
+    return jnp.sum(r_mul_t * jnp.tanh(r_mul_h + relation_lookup(rel_emb, r)), axis=1)
 
 
 def attention_softmax(

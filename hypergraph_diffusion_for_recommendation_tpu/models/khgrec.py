@@ -34,13 +34,15 @@ losses AND scores the attention applied to the NEXT batch
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.config import Config
 from ..data.device import CFDeviceData, KGDeviceData
-from ..ops.losses import bpr_loss, contrast_loss_masked, l2_reg_loss, unique_mask
+from ..ops.losses import bpr_loss, contrast_loss_pregathered, l2_reg_loss, unique_mask
 from .base import ModelBundle, register_model
 from .kg_common import att_matvec, att_matvec_t, attention_softmax, attention_values
 from .layers import AttentionFusion, hgcn_conv
@@ -56,15 +58,22 @@ class SelfAwareEncoder(nn.Module):
     use_self_att: bool = False  # HGNN/HD2 enable it (HGNN_cp.py:369, HD2.py:395-421)
     use_hyper: bool = True  # HGNNAblation toggles two-hop vs one-hop (HGNNAblation.py:490-510)
 
-    @nn.compact
+    def setup(self):
+        # setup-defined so the joint (block-diagonal) fast path can
+        # reuse the SAME LayerNorm params as this unfused path
+        self.lns = [nn.LayerNorm() for _ in range(self.n_layers)]
+        if self.use_self_att:
+            from .layers import SelfAttentionBlock
+
+            self.att_blocks = [SelfAttentionBlock(self.dim) for _ in range(self.n_layers)]
+
     def __call__(self, ego, adj, train: bool = False):
-        from .layers import SelfAttentionBlock
         from ..ops.sparse import spmm_pair as _spmm_pair
 
         res = ego
         for k in range(self.n_layers):
             if self.use_self_att:
-                ego = SelfAttentionBlock(self.dim)(ego, train)
+                ego = self.att_blocks[k](ego, train)
             act = k != self.n_layers - 1
             if self.use_hyper:
                 conv = hgcn_conv(adj, ego, self.slope, act=act)
@@ -72,7 +81,7 @@ class SelfAwareEncoder(nn.Module):
                 conv = _spmm_pair(adj.fwd, adj.bwd, ego)
                 if act:
                     conv = jax.nn.leaky_relu(conv, self.slope)
-            ego = nn.LayerNorm()(conv) + res
+            ego = self.lns[k](conv) + res
         return ego[: self.n_users], ego[self.n_users :]
 
 
@@ -81,7 +90,9 @@ class RelationalAwareEncoder(nn.Module):
     n_layers: int
     slope: float
 
-    @nn.compact
+    def setup(self):
+        self.lns = [nn.LayerNorm() for _ in range(self.n_layers)]
+
     def __call__(self, embs, kg_adj, att, train: bool = False):
         att_h, att_t, att_v = att
         n = embs.shape[0]
@@ -96,7 +107,7 @@ class RelationalAwareEncoder(nn.Module):
 
         res = embs
         for k in range(self.n_layers):
-            embs = nn.LayerNorm()(att_conv(embs, act=(k != self.n_layers - 1))) + res
+            embs = self.lns[k](att_conv(embs, act=(k != self.n_layers - 1))) + res
         return embs
 
 
@@ -131,9 +142,10 @@ class KHGRecModule(nn.Module):
         self.attention_item = AttentionFusion(self.hyper_dim)
 
     def cf_forward(self, cf: CFDeviceData, kg: KGDeviceData, keep_rate: float, train: bool):
-        ego = jnp.concatenate(
-            [self.user_entity_emb[kg.user_idx], self.user_entity_emb[kg.item_idx]], axis=0
-        )
+        # ONE gather over the concatenated index vector: TPU gathers pay
+        # a ~0.6 ms fixed cost per op regardless of row count
+        # (scripts/bench_att_ops.py), so merged lookups halve the cost
+        ego = self.user_entity_emb[jnp.concatenate([kg.user_idx, kg.item_idx])]
         adj = cf.adj
         if train and keep_rate < 1.0:
             adj = adj.dropped(self.make_rng("edges"), keep_rate)
@@ -152,12 +164,56 @@ class KHGRecModule(nn.Module):
             return fused
         return jnp.mean(stacked, axis=1)
 
+    def joint_encode(self, cf: CFDeviceData, kg: KGDeviceData, att, joint_adj,
+                     keep_rate: float, train: bool):
+        """Fused CF+KG forward over the block-diagonal adjacency.
+
+        The two encoders' per-layer chains are independent, so their
+        spmms run as ONE spmm over the stacked [cf nodes; entities]
+        space — TPU gathers pay a ~0.6 ms fixed cost per op, halving
+        the op count beats the larger matrix. Numerics are identical to
+        the unfused pair (same LayerNorm params via the encoders' setup
+        -defined `lns`) apart from the edge-dropout rng stream: one
+        draw covers the joint matrix instead of one per matrix.
+        """
+        att_h, att_t, att_v = att
+        n_nodes = cf.n_nodes
+        n_ent = kg.n_entities
+        ego_cf = self.user_entity_emb[jnp.concatenate([kg.user_idx, kg.item_idx])]
+        x = jnp.concatenate([ego_cf, self.user_entity_emb], axis=0)
+        adj = joint_adj
+        if train and keep_rate < 1.0:
+            adj = adj.dropped(self.make_rng("edges"), keep_rate)
+        res = x
+        for k in range(self.n_layers):
+            act = k != self.n_layers - 1
+            z = att_matvec_t(att_h, att_t, att_v, x[n_nodes:], n_ent)
+            s = jnp.concatenate([x[:n_nodes], z], axis=0)
+            y = _sp.spmm_pair(adj.bwd, adj.fwd, s)
+            y = _sp.spmm_pair(adj.fwd, adj.bwd, y)
+            w = att_matvec(att_h, att_t, att_v, y[n_nodes:], n_ent)
+            conv_cf = jax.nn.leaky_relu(y[:n_nodes], self.slope) if act else y[:n_nodes]
+            conv_kg = jax.nn.leaky_relu(w, self.slope) if act else w
+            x = jnp.concatenate(
+                [
+                    self.cf_encoder.lns[k](conv_cf) + res[:n_nodes],
+                    self.kg_encoder.lns[k](conv_kg) + res[n_nodes:],
+                ],
+                axis=0,
+            )
+        return x[: self.n_users], x[self.n_users : n_nodes], x[n_nodes:]
+
     def __call__(self, cf: CFDeviceData, kg: KGDeviceData, att, keep_rate: float = 1.0,
-                 train: bool = False, use_attention: bool = True):
-        u_cf, i_cf = self.cf_forward(cf, kg, keep_rate, train)
-        ent_kg = self.kg_forward(kg, att, keep_rate, train)
-        u_kg = ent_kg[kg.user_idx]
-        i_kg = ent_kg[kg.item_idx]
+                 train: bool = False, use_attention: bool = True, joint_adj=None):
+        if joint_adj is not None:
+            u_cf, i_cf, ent_kg = self.joint_encode(cf, kg, att, joint_adj, keep_rate, train)
+        else:
+            u_cf, i_cf = self.cf_forward(cf, kg, keep_rate, train)
+            ent_kg = self.kg_forward(kg, att, keep_rate, train)
+        # merged user+item lookup (one gather; see cf_forward note)
+        uikg = ent_kg[jnp.concatenate([kg.user_idx, kg.item_idx])]
+        u_kg = uikg[: self.n_users]
+        i_kg = uikg[self.n_users :]
         fused = self.fuse_items(i_cf, i_kg, use_attention)
         return u_cf, i_cf, ent_kg, u_kg, i_kg, fused
 
@@ -186,12 +242,29 @@ def _build_khgrec_like(
             cfg.hyper_dim, cfg.relation_dim, cfg.n_layers, cfg.p,
             use_self_att, use_hyper,
         )
-        return _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att)
+        # joint (block-diagonal) path: OPT-IN via HGDR_JOINT=1. Measured
+        # on TPU v5e the merged spmm is ~7% slower than the two separate
+        # chains (gather cost scales with the source-table stream, not
+        # per-op — scripts/bench_att_ops.py history), so the unfused
+        # pair stays the default; the fused path is kept (equivalence
+        # -tested) for topologies where one matrix dwarfs the other.
+        joint = None
+        if (
+            use_hyper
+            and not use_self_att
+            and os.environ.get("HGDR_JOINT")
+            and cf.adj.host is not None
+            and kg.kg_adj.host is not None
+        ):
+            from ..data.device import blockdiag_pair
+
+            joint = blockdiag_pair(cf.adj, kg.kg_adj)
+        return _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint)
 
     return builder
 
 
-def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
+def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None) -> ModelBundle:
     keep = 1.0 - cfg.drop_rate
 
     def init(rng):
@@ -202,7 +275,8 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
             jnp.ones((b,), jnp.float32),
         )
         params = module.init(
-            {"params": rng, "edges": rng}, cf, kg, att0, 1.0, False, use_att
+            {"params": rng, "edges": rng}, cf, kg, att0, 1.0, False, use_att,
+            joint_adj=joint_adj,
         )
         return params, {"att_h": att0[0], "att_t": att0[1], "att_v": att0[2]}
 
@@ -214,20 +288,25 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
         k1, k2 = jax.random.split(rng)
         u_cf, i_cf, ent_kg, u_kg, i_kg, fused = module.apply(
             params, cf, kg, _att(extras), keep, True, use_att,
-            rngs={"edges": k1, "dropout": k2},
+            joint_adj=joint_adj, rngs={"edges": k1, "dropout": k2},
         )
-        # CF loss (:341-345)
-        ue, pe, ne = u_cf[users], fused[pos], fused[neg]
+        # CF loss (:341-345) — user and pos/neg item rows fetched by ONE
+        # gather over a stacked [u_cf; fused] table (fixed-cost gathers;
+        # the merged op also collapses the three backward scatters into one)
+        n_users = cf.n_users
+        upn_table = jnp.concatenate([u_cf, fused], axis=0)
+        upn = upn_table[jnp.concatenate([users, n_users + pos, n_users + neg])]
+        ue, pe, ne = jnp.split(upn, 3, axis=0)
         rec = bpr_loss(ue, pe, ne)
         cf_loss = rec + l2_reg_loss(cfg.reg, ue, pe, ne) / cfg.batch_size
         # KG TransR loss on the kg-encoded embeddings (:124-126, :347-365)
         p = params["params"]
-        from .kg_common import project_by_relation
+        from .kg_common import project_by_relation, relation_lookup
 
-        r_emb = p["relation_emb"][r]
+        r_emb = relation_lookup(p["relation_emb"], r)
         # one batched relation projection for h/pos/neg (same r vector)
         proj3 = project_by_relation(
-            jnp.concatenate([ent_kg[h], ent_kg[pt], ent_kg[nt]], axis=0),
+            ent_kg[jnp.concatenate([h, pt, nt])],
             p["trans_M"],
             jnp.concatenate([r, r, r]),
         )
@@ -252,10 +331,17 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
             "_new_extras": {"att_h": h, "att_t": pt, "att_v": att_v},
         }
         if use_ssl:
+            # one gather per VIEW (users and items stacked) instead of
+            # four; row-normalisation commutes with the gather so the
+            # numerics match contrast_loss_masked on the full arrays
             uu, um = unique_mask(users)
             iu, im = unique_mask(pos)
-            ssl = contrast_loss_masked(u_cf, u_kg, uu, um, cfg.temp)
-            ssl = ssl + contrast_loss_masked(i_cf, i_kg, iu, im, cfg.temp)
+            b = users.shape[0]
+            ids = jnp.concatenate([uu, cf.n_users + iu])
+            cf_view = jnp.concatenate([u_cf, i_cf], axis=0)[ids]
+            kg_view = jnp.concatenate([u_kg, i_kg], axis=0)[ids]
+            ssl = contrast_loss_pregathered(cf_view[:b], kg_view[:b], um, cfg.temp)
+            ssl = ssl + contrast_loss_pregathered(cf_view[b:], kg_view[b:], im, cfg.temp)
             ssl = cfg.cl_rate * ssl
             aux["cl_loss"] = ssl
             loss = loss + ssl
@@ -263,7 +349,7 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att) -> ModelBundle:
 
     def encode_eval(params, extras):
         u_cf, i_cf, ent_kg, u_kg, i_kg, fused = module.apply(
-            params, cf, kg, _att(extras), 1.0, False, use_att
+            params, cf, kg, _att(extras), 1.0, False, use_att, joint_adj=joint_adj
         )
         return u_cf, fused
 

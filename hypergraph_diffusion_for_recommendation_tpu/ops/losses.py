@@ -105,6 +105,27 @@ def contrast_loss_masked(
     return jnp.sum(per * vf) / jnp.maximum(jnp.sum(vf), 1.0)
 
 
+def contrast_loss_pregathered(
+    p1_raw: jnp.ndarray, p2_raw: jnp.ndarray, valid: jnp.ndarray, temp: float
+) -> jnp.ndarray:
+    """contrast_loss_masked on PRE-GATHERED rows (p_raw = embeds[nodes]).
+
+    Row-normalisation commutes with the gather, so callers can merge
+    several node lookups into one gather op (TPU gathers carry a ~0.6 ms
+    fixed cost each) and slice the result; numerics are identical to
+    contrast_loss_masked.
+    """
+    p1 = _l2_normalize(p1_raw + 1e-8)
+    p2 = _l2_normalize(p2_raw + 1e-8)
+    nume = jnp.exp(jnp.sum(p1 * p2, axis=-1) / temp)
+    logits = p1 @ p2.T / temp
+    expd = jnp.exp(logits) * valid[None, :].astype(logits.dtype)
+    deno = jnp.sum(expd, axis=-1) + 1e-8
+    per = -jnp.log(nume / deno)
+    vf = valid.astype(per.dtype)
+    return jnp.sum(per * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+
 def unique_mask(ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Static-shape `torch.unique` stand-in: sorted ids + first-occurrence
     mask. Downstream losses treat masked-off rows as absent, matching the

@@ -133,12 +133,19 @@ def pack_blocked(
     )
 
 
-def _segment_matmul_kernel(wmap_ref, lrows_ref, g_ref, out_ref, *, eb, rb):
+def _segment_matmul_kernel(wmap_ref, lrows_ref, vals_ref, g_ref, out_ref, *, eb, rb):
     b = pl.program_id(0)
     lrows = lrows_ref[0]  # [eb, 1] (trailing 1 satisfies TPU tiling)
-    g = g_ref[0]  # [eb, d]
+    vals = vals_ref[0]  # [eb, 1] edge values (pad slots carry 0)
+    g = g_ref[0]  # [eb, d] RAW gathered rows (values NOT pre-multiplied)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, rb), 1)
-    onehot = (lrows == row_ids).astype(g.dtype)  # [E,1] vs [E,R]: pads match nothing
+    # scaled one-hot: folding the edge-value multiply into the MXU
+    # operand removes the [nnz, d] elementwise pass (and its HBM
+    # round-trip) that used to run between the gather and the kernel —
+    # measured ~0.5 ms per spmm at bench shapes. Pads match no row AND
+    # carry val 0. (mask cast THEN multiply: jnp.where on the i1 mask
+    # trips a Mosaic relayout bug as of jax 0.9)
+    onehot = (lrows == row_ids).astype(g.dtype) * vals.astype(g.dtype)
     # f32 operands: HIGHEST = exact 3-pass MXU (matches the XLA path and
     # still beats the scatter lowering). bf16 operands: single MXU pass
     # with f32 accumulation.
@@ -200,9 +207,12 @@ def _blocked_spmm_fwd_only(
     eb, rb = blocked.eb, blocked.rb
     d = x.shape[1]
     v = _packed_vals(blocked, vals)
-    gathered = x[blocked.cols.reshape(-1)] * v[:, None].astype(x.dtype)
     gdtype = jnp.bfloat16 if blocked.bf16 else jnp.float32
-    gathered = gathered.reshape(nb, eb, d).astype(gdtype)
+    # cast the TABLE once (cheap: [n, d]) and gather raw rows; the edge
+    # -value multiply rides the kernel's scaled one-hot, so no [nnz, d]
+    # elementwise pass runs between the gather and the MXU
+    gathered = x.astype(gdtype)[blocked.cols.reshape(-1)].reshape(nb, eb, d)
+    vblk = v.reshape(nb, eb, 1).astype(gdtype)
 
     lrows = blocked.local_rows.reshape(nb, eb, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -210,6 +220,7 @@ def _blocked_spmm_fwd_only(
         grid=(nb,),
         in_specs=[
             # trailing singleton dim satisfies the TPU block-tiling rule
+            pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
             pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
             pl.BlockSpec((1, eb, d), lambda b, wmap: (b, 0, 0)),
         ],
@@ -220,7 +231,7 @@ def _blocked_spmm_fwd_only(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((blocked.n_windows, rb, d), jnp.float32),
         interpret=interpret,
-    )(blocked.wmap, lrows, gathered)
+    )(blocked.wmap, lrows, vblk, gathered)
     return out.reshape(-1, d)[: blocked.nrows].astype(x.dtype)
 
 

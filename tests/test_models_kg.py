@@ -162,3 +162,35 @@ def test_kgat_chunked_alternating_matches_single(kg_setup):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_khgrec_joint_encode_matches_unfused(kg_setup):
+    """The block-diagonal joint fast path must reproduce the unfused
+    CF+KG encoder pair bit-for-bit at eval (keep_rate=1: the only
+    intended divergence is the edge-dropout rng stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypergraph_diffusion_for_recommendation_tpu.data.device import blockdiag_pair
+    from hypergraph_diffusion_for_recommendation_tpu.models.khgrec import KHGRecModule
+
+    inter, cf_dev, kg_dev = kg_setup
+    module = KHGRecModule(
+        kg_dev.n_entities, kg_dev.n_relations, cf_dev.n_users, 32, 16, 2, 0.3
+    )
+    joint = blockdiag_pair(cf_dev.adj, kg_dev.kg_adj)
+    B = 64
+    att0 = (
+        jnp.arange(B, dtype=jnp.int32) % kg_dev.n_entities,
+        (jnp.arange(B, dtype=jnp.int32) * 3) % kg_dev.n_entities,
+        jnp.linspace(0.1, 1.0, B, dtype=jnp.float32),
+    )
+    rng = jax.random.PRNGKey(0)
+    params = module.init(
+        {"params": rng, "edges": rng}, cf_dev, kg_dev, att0, 1.0, False, True,
+        joint_adj=joint,
+    )
+    out_j = module.apply(params, cf_dev, kg_dev, att0, 1.0, False, True, joint_adj=joint)
+    out_u = module.apply(params, cf_dev, kg_dev, att0, 1.0, False, True)
+    for a, b in zip(out_j, out_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
