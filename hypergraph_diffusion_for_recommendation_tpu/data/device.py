@@ -164,10 +164,10 @@ def blockdiag_pair(a: AdjPair, b: AdjPair, pad_multiple: int = 8) -> AdjPair:
 
     Two independent spmm chains (e.g. KHGRec's CF and KG encoders,
     reference KHGRec.py:374-453) can run as ONE spmm over the stacked
-    node space: TPU gathers pay a ~0.6 ms fixed cost per op, so halving
-    the op count beats running the chains separately even though the
-    merged matrix is larger. Requires host edge snapshots (built by
-    make_adj_pair).
+    node space. On v5e this measured slightly SLOWER than separate
+    chains (gathers are row-rate bound, so merging does not amortise);
+    kept as an opt-in for topologies that pack better. Requires host
+    edge snapshots (built by make_adj_pair).
     """
     ah, bh = a.host, b.host
     assert ah is not None and bh is not None, "blockdiag_pair needs host edges"

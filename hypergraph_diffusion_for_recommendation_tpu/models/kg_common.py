@@ -31,10 +31,11 @@ def project_by_relation(x: jnp.ndarray, w: jnp.ndarray, r: jnp.ndarray) -> jnp.n
 
 
 def relation_lookup(rel_emb: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """rel_emb[r] as a one-hot MXU contraction.
+    """rel_emb[r] as a one-hot MXU contraction (R ~ 10 relations).
 
-    The relation table is tiny (R ~ 10) but a [B]-row XLA gather still
-    pays the ~0.6 ms fixed per-op cost; the one-hot matmul is ~10 us.
+    The matmul form keeps the op inside the surrounding XLA fusion and
+    its VJP is a transposed MXU matmul instead of an unsorted
+    scatter-add into the relation table.
     """
     onehot = jax.nn.one_hot(r, rel_emb.shape[0], dtype=rel_emb.dtype)
     return onehot @ rel_emb
@@ -51,7 +52,7 @@ def attention_values(
     """KGAT attention logits per triple (Equation 4, KGAT.py:349-360):
     v = sum((t W_r) * tanh(h W_r + r), -1)."""
     n = entity_emb.shape[0]
-    # ONE merged h+t gather (fixed-cost gather ops) and one batched
+    # ONE merged h+t gather (one backward scatter) and one batched
     # projection for both operands (same relation vector)
     ht = entity_emb[jnp.clip(jnp.concatenate([h, t]), 0, n - 1)]
     both = project_by_relation(ht, trans_m, jnp.concatenate([r, r]))

@@ -142,9 +142,9 @@ class KHGRecModule(nn.Module):
         self.attention_item = AttentionFusion(self.hyper_dim)
 
     def cf_forward(self, cf: CFDeviceData, kg: KGDeviceData, keep_rate: float, train: bool):
-        # ONE gather over the concatenated index vector: TPU gathers pay
-        # a ~0.6 ms fixed cost per op regardless of row count
-        # (scripts/bench_att_ops.py), so merged lookups halve the cost
+        # ONE gather over the concatenated index vector: merging lookups
+        # from the same table also merges their backward scatter-adds
+        # into one op (unsorted scatters are the slow direction on TPU)
         ego = self.user_entity_emb[jnp.concatenate([kg.user_idx, kg.item_idx])]
         adj = cf.adj
         if train and keep_rate < 1.0:
@@ -170,8 +170,7 @@ class KHGRecModule(nn.Module):
 
         The two encoders' per-layer chains are independent, so their
         spmms run as ONE spmm over the stacked [cf nodes; entities]
-        space — TPU gathers pay a ~0.6 ms fixed cost per op, halving
-        the op count beats the larger matrix. Numerics are identical to
+        space (half the op count, one bigger matrix). Numerics are identical to
         the unfused pair (same LayerNorm params via the encoders' setup
         -defined `lns`) apart from the edge-dropout rng stream: one
         draw covers the joint matrix instead of one per matrix.
@@ -244,10 +243,10 @@ def _build_khgrec_like(
         )
         # joint (block-diagonal) path: OPT-IN via HGDR_JOINT=1. Measured
         # on TPU v5e the merged spmm is ~7% slower than the two separate
-        # chains (gather cost scales with the source-table stream, not
-        # per-op — scripts/bench_att_ops.py history), so the unfused
-        # pair stays the default; the fused path is kept (equivalence
-        # -tested) for topologies where one matrix dwarfs the other.
+        # chains (gathers are row-rate bound, so one big gather costs
+        # the sum of the small ones and the merged layout pads more), so
+        # the unfused pair stays the default; the fused path is kept
+        # (equivalence-tested) for topologies that pack better.
         joint = None
         if (
             use_hyper

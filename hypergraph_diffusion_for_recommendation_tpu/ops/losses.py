@@ -111,9 +111,9 @@ def contrast_loss_pregathered(
     """contrast_loss_masked on PRE-GATHERED rows (p_raw = embeds[nodes]).
 
     Row-normalisation commutes with the gather, so callers can merge
-    several node lookups into one gather op (TPU gathers carry a ~0.6 ms
-    fixed cost each) and slice the result; numerics are identical to
-    contrast_loss_masked.
+    several node lookups into one gather (one backward scatter) and
+    normalise only the picked rows instead of the full embedding
+    arrays; numerics are identical to contrast_loss_masked.
     """
     p1 = _l2_normalize(p1_raw + 1e-8)
     p2 = _l2_normalize(p2_raw + 1e-8)
