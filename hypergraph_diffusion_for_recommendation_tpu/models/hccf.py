@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from ..core.config import Config
 from ..data.device import CFDeviceData
-from ..ops.losses import bpr_loss, contrast_loss_masked, unique_mask
+from ..ops.losses import bpr_loss, contrast_loss_pregathered, unique_mask
 from ..ops.sparse import spmm
 from .base import ModelBundle, register_model
 
@@ -88,11 +88,17 @@ def build_hccf(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
         rec = bpr_loss(ue, pe, ne)
         uu, um = unique_mask(users)
         iu, im = unique_mask(pos)
+        # one gather per view per layer (users+items stacked); row
+        # -normalisation commutes with the gather so numerics match the
+        # full-array contrast_loss_masked form
+        ids = jnp.concatenate([uu, cf.n_users + iu])
+        b = users.shape[0]
         ssl = 0.0
         for g, h in zip(gcn_h, hgnn_h):
             g = jax.lax.stop_gradient(g)  # reference detaches the GCN side (:63)
-            ssl = ssl + contrast_loss_masked(g[: cf.n_users], h[: cf.n_users], uu, um, cfg.temp)
-            ssl = ssl + contrast_loss_masked(g[cf.n_users :], h[cf.n_users :], iu, im, cfg.temp)
+            gv, hv = g[ids], h[ids]
+            ssl = ssl + contrast_loss_pregathered(gv[:b], hv[:b], um, cfg.temp)
+            ssl = ssl + contrast_loss_pregathered(gv[b:], hv[b:], im, cfg.temp)
         ssl = cfg.cl_rate * ssl
         return rec + ssl, {"rec_loss": rec, "cl_loss": ssl}
 

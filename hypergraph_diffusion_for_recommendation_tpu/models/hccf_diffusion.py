@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from ..core.config import Config
 from ..data.device import CFDeviceData
-from ..ops.losses import bpr_loss, contrast_loss_masked, unique_mask
+from ..ops.losses import bpr_loss, contrast_loss_pregathered, unique_mask
 from ..ops.sparse import spmm
 from .base import ModelBundle, register_model
 from .layers import DenseEquivSetGNN
@@ -82,11 +82,15 @@ def build_hccf_diffusion(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
         rec = bpr_loss(u_emb[users], i_emb[pos], i_emb[neg])
         uu, um = unique_mask(users)
         iu, im = unique_mask(pos)
+        # one gather per view per layer (see hccf.py note)
+        ids = jnp.concatenate([uu, cf.n_users + iu])
+        b = users.shape[0]
         ssl = 0.0
         for g, h in zip(gcn_h, hgnn_h):
             g = jax.lax.stop_gradient(g)
-            ssl = ssl + contrast_loss_masked(g[: cf.n_users], h[: cf.n_users], uu, um, cfg.temp)
-            ssl = ssl + contrast_loss_masked(g[cf.n_users :], h[cf.n_users :], iu, im, cfg.temp)
+            gv, hv = g[ids], h[ids]
+            ssl = ssl + contrast_loss_pregathered(gv[:b], hv[:b], um, cfg.temp)
+            ssl = ssl + contrast_loss_pregathered(gv[b:], hv[b:], im, cfg.temp)
         ssl = cfg.cl_rate * ssl
         return rec + ssl, {"rec_loss": rec, "cl_loss": ssl}
 

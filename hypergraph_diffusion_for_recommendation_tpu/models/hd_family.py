@@ -44,7 +44,7 @@ from flax import linen as nn
 
 from ..core.config import Config
 from ..data.device import CFDeviceData
-from ..ops.losses import bpr_loss, contrast_loss_masked, l2_reg_loss, unique_mask
+from ..ops.losses import bpr_loss, contrast_loss_pregathered, l2_reg_loss, unique_mask
 from .base import ModelBundle, register_model
 from .layers import EquivSetConvScatter, EquivSetGNN, HWNNLayer, hgcn_conv
 
@@ -212,8 +212,14 @@ def _build_hd_variant(
                 (lu, li), (gu, gi) = views
                 uu, um = unique_mask(users)
                 iu, im = unique_mask(pos)
-                ssl = contrast_loss_masked(lu, gu, uu, um, cfg.temp)
-                ssl = ssl + contrast_loss_masked(li, gi, iu, im, cfg.temp)
+                # one gather per view (users+items stacked); numerics
+                # match the full-array contrast form (see ops/losses.py)
+                ids = jnp.concatenate([uu, lu.shape[0] + iu])
+                b = users.shape[0]
+                lv = jnp.concatenate([lu, li], axis=0)[ids]
+                gv = jnp.concatenate([gu, gi], axis=0)[ids]
+                ssl = contrast_loss_pregathered(lv[:b], gv[:b], um, cfg.temp)
+                ssl = ssl + contrast_loss_pregathered(lv[b:], gv[b:], im, cfg.temp)
                 ssl = cfg.cl_rate * ssl
                 aux["cl_loss"] = ssl
                 loss = loss + ssl
