@@ -64,3 +64,36 @@ def test_mesh_sharding_actually_applied(tiny_kg_dataset):
     # one sharded step runs
     loss, _ = t.run_epoch(0)
     assert np.isfinite(loss)
+
+
+def test_khgrec_explicit_lookup_matches_plain(tiny_kg_dataset):
+    """KHGRec built WITH a mesh routes entity-table lookups through the
+    explicit shard_map collective (spmd_sharded_lookup); training must
+    match the plain-gather single-device path."""
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_kg_device_data,
+        build_knowledge,
+    )
+
+    train, test, kg_df = tiny_kg_dataset
+    inter = build_interaction(train, test)
+    kg = build_knowledge(kg_df, inter)
+    cfg = make_config(
+        "KHGRec", batch_size=256, batch_size_kg=256, hyper_dim=16, relation_dim=16,
+        item_ranking=(10,), eval_user_batch=64, max_epoch=1, shard_min_rows=16,
+    )
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    kg_dev = build_kg_device_data(kg)
+    if kg_dev.n_entities % 2:
+        pytest.skip("odd entity count: table not shardable on this mesh")
+    mesh = make_mesh(4, 2)
+
+    bundle_mesh = build_model(cfg, cf, kg_dev, mesh=mesh)
+    # the builder must have wired the explicit path (conditions hold)
+    t_mesh = Trainer(bundle_mesh, mesh=mesh)
+    t_plain = Trainer(build_model(cfg, cf, kg_dev))
+
+    for ep in range(2):
+        l1, _ = t_plain.run_epoch(ep)
+        l2, _ = t_mesh.run_epoch(ep)
+        assert abs(l1 - l2) < 1e-3, (ep, l1, l2)
