@@ -78,11 +78,23 @@ def register_model(name: str):
     return deco
 
 
+# mesh visible to builders DURING build_model (explicit-collective
+# lookup wiring, survey 2.8): builders capture it in their closures, so
+# there is no global routing state after the build returns
+_BUILD_MESH = None
+
+
+def build_mesh():
+    """The mesh passed to the in-flight build_model call (or None)."""
+    return _BUILD_MESH
+
+
 def build_model(
     cfg: Config,
     cf: CFDeviceData,
     kg: Optional[KGDeviceData] = None,
     social: Any = None,
+    mesh: Any = None,
 ) -> ModelBundle:
     if cfg.model not in MODEL_REGISTRY:
         raise ValueError(
@@ -90,7 +102,12 @@ def build_model(
         )
     import inspect
 
+    global _BUILD_MESH
     fn = MODEL_REGISTRY[cfg.model]
-    if "social" in inspect.signature(fn).parameters:
-        return fn(cfg, cf, kg, social=social)
-    return fn(cfg, cf, kg)
+    _BUILD_MESH = mesh
+    try:
+        if "social" in inspect.signature(fn).parameters:
+            return fn(cfg, cf, kg, social=social)
+        return fn(cfg, cf, kg)
+    finally:
+        _BUILD_MESH = None

@@ -122,6 +122,19 @@ class KHGRecModule(nn.Module):
 
     use_self_att: bool = False
     use_hyper: bool = True
+    # active (data, model) mesh: routes entity-TABLE lookups through the
+    # explicit shard_map collective (parallel/embedding.py) instead of
+    # letting GSPMD choose a strategy. None = plain gather.
+    lookup_mesh: object = None
+
+    def table_lookup(self, idx):
+        """user_entity_emb[idx] — explicit psum-of-partials collective
+        when a mesh is wired (row-sharded table), plain gather otherwise."""
+        if self.lookup_mesh is not None:
+            from ..parallel.embedding import spmd_sharded_lookup
+
+            return spmd_sharded_lookup(self.user_entity_emb, idx, self.lookup_mesh)
+        return self.user_entity_emb[idx]
 
     def setup(self):
         self.user_entity_emb = self.param(
@@ -145,7 +158,7 @@ class KHGRecModule(nn.Module):
         # ONE gather over the concatenated index vector: merging lookups
         # from the same table also merges their backward scatter-adds
         # into one op (unsorted scatters are the slow direction on TPU)
-        ego = self.user_entity_emb[jnp.concatenate([kg.user_idx, kg.item_idx])]
+        ego = self.table_lookup(jnp.concatenate([kg.user_idx, kg.item_idx]))
         adj = cf.adj
         if train and keep_rate < 1.0:
             adj = adj.dropped(self.make_rng("edges"), keep_rate)
@@ -178,7 +191,7 @@ class KHGRecModule(nn.Module):
         att_h, att_t, att_v = att
         n_nodes = cf.n_nodes
         n_ent = kg.n_entities
-        ego_cf = self.user_entity_emb[jnp.concatenate([kg.user_idx, kg.item_idx])]
+        ego_cf = self.table_lookup(jnp.concatenate([kg.user_idx, kg.item_idx]))
         x = jnp.concatenate([ego_cf, self.user_entity_emb], axis=0)
         adj = joint_adj
         if train and keep_rate < 1.0:
@@ -236,10 +249,25 @@ def _build_khgrec_like(
         use_ssl = (not force_no_ssl) and cfg.mode in ("full", "woatt", "wo_attention")
         use_att = cfg.mode in ("full", "wossl", "wo_ssl")
         use_hyper = (cfg.mode != "wohyper") if hyper_from_mode else True
+        # explicit-collective table lookups when building for a mesh
+        # whose model axis actually shards the entity table (mirrors
+        # parallel.mesh.param_shardings' row-sharding conditions)
+        from .base import build_mesh
+        from ..parallel.mesh import MODEL_AXIS
+
+        mesh = build_mesh()
+        lookup_mesh = None
+        if (
+            mesh is not None
+            and mesh.shape.get(MODEL_AXIS, 1) > 1
+            and kg.n_entities % mesh.shape[MODEL_AXIS] == 0
+            and kg.n_entities >= cfg.shard_min_rows
+        ):
+            lookup_mesh = mesh
         module = KHGRecModule(
             kg.n_entities, kg.n_relations, cf.n_users,
             cfg.hyper_dim, cfg.relation_dim, cfg.n_layers, cfg.p,
-            use_self_att, use_hyper,
+            use_self_att, use_hyper, lookup_mesh,
         )
         # joint (block-diagonal) path: OPT-IN via HGDR_JOINT=1. Measured
         # on TPU v5e the merged spmm is ~7% slower than the two separate

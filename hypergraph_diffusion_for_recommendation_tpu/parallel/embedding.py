@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .mesh import MODEL_AXIS
+
 
 def sharded_lookup(local_table: jnp.ndarray, idx: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Lookup rows of a row-sharded table inside shard_map.
@@ -32,6 +34,28 @@ def sharded_lookup(local_table: jnp.ndarray, idx: jnp.ndarray, axis_name: str) -
     safe_idx = jnp.clip(local_idx, 0, rows_per_shard - 1)
     partial = jnp.where(in_range[:, None], local_table[safe_idx], 0.0)
     return jax.lax.psum(partial, axis_name)
+
+
+def spmd_sharded_lookup(table: jnp.ndarray, idx: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Explicit-collective `table[idx]` usable inside a jit/GSPMD-traced
+    function (e.g. a model forward under Trainer(mesh=...)).
+
+    shard_map PINS the schedule — each model-axis shard gathers from its
+    own row block and the partial rows are psum'd over ICI — instead of
+    leaving the partitioner free to all-gather the table (O(E*d) per
+    step vs O(B*d)). The table's row count must divide the model axis;
+    grads flow through (psum transposes to identity, the local gather
+    transposes to a shard-local scatter-add).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        lambda t, i: sharded_lookup(t, i, MODEL_AXIS),
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P()),
+        out_specs=P(),
+    )
+    return fn(table, idx)
 
 
 def sharded_scatter_add(
