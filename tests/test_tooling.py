@@ -132,3 +132,40 @@ def test_kg_subset_and_graph_utils(tmp_path):
     dt.shuffle_interactions(inter, os.path.join(d, "sh.txt"), seed=1)
     sh = open(os.path.join(d, "sh.txt")).read().splitlines()
     assert sh[0].startswith("user") and sorted(sh[1:]) == sorted(open(inter).read().splitlines()[1:])
+
+
+def test_results_aggregator(tmp_path):
+    """generate_output.ipynb parity: per-run CSVs -> flat output.csv."""
+    import csv
+
+    from hypergraph_diffusion_for_recommendation_tpu.utils.results import (
+        aggregate_results,
+        write_output_csv,
+    )
+
+    run = tmp_path / "MF" / "lastfm" / "full@lr0.001-reg0.1-dim64-L2-seed0"
+    run.mkdir(parents=True)
+    (run / "final_metrics.csv").write_text(
+        "topN,hit_ratio,precision,recall,ndcg\n"
+        "10,0.1,0.2,0.3,0.4\n20,0.15,0.25,0.35,0.45\n"
+    )
+    unfinished = tmp_path / "LightGCN" / "lastfm" / "missing_10@lr0.01-reg0.1-dim64-L2-seed0"
+    unfinished.mkdir(parents=True)
+    (unfinished / "train_performance.csv").write_text(
+        "epoch,train_time,test_time,hit@20,precision@20,recall@20,ndcg@20\n"
+        "0,1.0,1.0,0.1,0.1,0.10,0.1\n1,1.0,1.0,0.2,0.2,0.30,0.2\n2,1.0,1.0,0.2,0.2,0.20,0.2\n"
+    )
+    rows = aggregate_results(str(tmp_path))
+    assert len(rows) == 2
+    by_model = {r["model"]: r for r in rows}
+    assert by_model["MF"]["recall@20"] == 0.35
+    assert by_model["MF"]["experiment"] == "full"
+    # unfinished run: best-recall epoch row (epoch 1), not the last
+    assert by_model["LightGCN"]["recall@20"] == 0.30
+    assert by_model["LightGCN"]["best_epoch"] == 1
+    assert by_model["LightGCN"]["experiment"] == "missing_10"
+
+    out = tmp_path / "output.csv"
+    write_output_csv(rows, str(out))
+    got = list(csv.DictReader(open(out)))
+    assert len(got) == 2 and got[0]["model"] == "LightGCN"
