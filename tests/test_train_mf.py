@@ -84,3 +84,28 @@ def test_chunked_epoch_matches_single_execution(tiny_dataset):
     np.testing.assert_allclose(np.asarray(l_single), np.asarray(l_chunked), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_chunked)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_profile_epoch_writes_trace(tiny_dataset, tmp_path):
+    """profile_epoch must run a real epoch under jax.profiler and leave
+    an xplane trace on disk (aux subsystem, SURVEY section 5)."""
+    import glob
+
+    from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_cf_device_data,
+        build_interaction,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+    from hypergraph_diffusion_for_recommendation_tpu.train import Trainer
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cfg = make_config(
+        "MF", batch_size=256, embedding_size=16, item_ranking=(10,),
+        eval_user_batch=64, max_epoch=1,
+    )
+    t = Trainer(build_model(cfg, build_cf_device_data(inter, eval_user_multiple=64)))
+    loss, _ = t.profile_epoch(str(tmp_path), 0)
+    assert float(loss) == loss  # finite scalar came back
+    assert glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True), "no trace written"
