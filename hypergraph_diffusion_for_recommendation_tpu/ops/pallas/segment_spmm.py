@@ -95,37 +95,44 @@ def pack_blocked(
     starts = np.searchsorted(rows_l, np.arange(n_windows) * rb, side="left")
     ends = np.append(starts[1:], rows_l.shape[0])
 
-    blk_cols, blk_vals, blk_lrows, blk_src, wmap = [], [], [], [], []
-    for w in range(n_windows):
-        lo, hi = int(starts[w]), int(ends[w])
-        n_w = hi - lo
-        n_blk = max(-(-n_w // eb), 1)  # >= 1 so the tile is written
-        for b in range(n_blk):
-            s = lo + b * eb
-            e = min(s + eb, hi)
-            n = max(e - s, 0)
-            pad = eb - n
-            blk_cols.append(np.concatenate([cols_l[s:e], np.zeros(pad, np.int64)]))
-            blk_vals.append(np.concatenate([vals_l[s:e], np.zeros(pad, np.float32)]))
-            blk_lrows.append(
-                np.concatenate(
-                    [rows_l[s:e] - w * rb, np.full(pad, rb, np.int64)]
-                )
-            )
-            blk_src.append(np.concatenate([live_idx[s:e], np.zeros(pad, np.int64)]))
-            wmap.append(w)
-    src_np = np.stack(blk_src).astype(np.int64)
+    # fully-vectorised slot mapping (the per-window Python loop cost ~4 s
+    # at ML-1M scale): each live edge i in window w lands in
+    #   block  = block_offset[w] + (i - starts[w]) // eb
+    #   slot   = (i - starts[w]) % eb
+    # empty windows still get one all-pad block so every out tile is written
+    n_w = ends - starts
+    blocks_per_w = np.maximum(-(-n_w // eb), 1)
+    block_offset = np.concatenate([[0], np.cumsum(blocks_per_w)[:-1]])
+    n_blocks = int(blocks_per_w.sum())
+
+    wmap_np = np.repeat(np.arange(n_windows, dtype=np.int64), blocks_per_w)
+
+    n_live = rows_l.shape[0]
+    edge_w = np.repeat(np.arange(n_windows, dtype=np.int64), n_w)
+    pos_in_w = np.arange(n_live, dtype=np.int64) - np.repeat(starts, n_w)
+    flat = (block_offset[edge_w] + pos_in_w // eb) * eb + pos_in_w % eb
+
+    cols_b = np.zeros(n_blocks * eb, np.int64)
+    vals_b = np.zeros(n_blocks * eb, np.float32)
+    lrows_b = np.full(n_blocks * eb, rb, np.int64)
+    src_b = np.zeros(n_blocks * eb, np.int64)
+    cols_b[flat] = cols_l
+    vals_b[flat] = vals_l
+    lrows_b[flat] = rows_l - edge_w * rb
+    src_b[flat] = live_idx
+
+    src_np = src_b.reshape(n_blocks, eb)
     canon_np = src_np if canon_map is None else np.asarray(canon_map)[src_np]
     return BlockedCOO(
-        cols=jnp.asarray(np.stack(blk_cols).astype(np.int32)),
-        vals=jnp.asarray(np.stack(blk_vals).astype(np.float32)),
-        local_rows=jnp.asarray(np.stack(blk_lrows).astype(np.int32)),
-        wmap=jnp.asarray(np.asarray(wmap, np.int32)),
+        cols=jnp.asarray(cols_b.reshape(n_blocks, eb).astype(np.int32)),
+        vals=jnp.asarray(vals_b.reshape(n_blocks, eb)),
+        local_rows=jnp.asarray(lrows_b.reshape(n_blocks, eb).astype(np.int32)),
+        wmap=jnp.asarray(wmap_np.astype(np.int32)),
         src=jnp.asarray(src_np.astype(np.int32)),
         canon=jnp.asarray(canon_np.astype(np.int32)),
         nrows=int(shape[0]),
         ncols=int(shape[1]),
-        n_blocks=len(wmap),
+        n_blocks=n_blocks,
         n_windows=n_windows,
         bf16=bf16,
         eb=eb,

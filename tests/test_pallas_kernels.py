@@ -149,3 +149,57 @@ def test_hash_dropout_consistent_across_layouts(rng):
     assert not np.array_equal(np.asarray(d2.fwd.vals), fv)
     d3 = pair.dropped(key, 0.7)
     np.testing.assert_array_equal(np.asarray(d3.fwd.vals), fv)
+
+
+def test_pack_blocked_matches_naive():
+    """The vectorised packer must reproduce the naive per-window layout
+    exactly (cols/vals/local_rows/src/wmap), including empty windows,
+    pad edges, and canon_map composition."""
+    import numpy as np
+
+    from hypergraph_diffusion_for_recommendation_tpu.ops.pallas.segment_spmm import (
+        pack_blocked,
+    )
+
+    rng = np.random.default_rng(3)
+    n, eb, rb = 700, 32, 64  # rows 640-699 empty-ish; window 2 left empty below
+    nnz = 900
+    rows = np.sort(rng.integers(0, n, nnz))
+    rows = rows[(rows < 128) | (rows >= 192)]  # empty window [128,192)
+    cols = rng.integers(0, n, rows.shape[0])
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    # append pad entries (row == n) that must be dropped
+    rows = np.concatenate([rows, np.full(7, n)])
+    cols = np.concatenate([cols, np.zeros(7, np.int64)])
+    vals = np.concatenate([vals, np.zeros(7, np.float32)])
+    canon = rng.permutation(rows.shape[0]).astype(np.int64)
+
+    blk = pack_blocked(rows, cols, vals, (n, n), edge_block=eb, row_block=rb,
+                       canon_map=canon)
+
+    # naive reference layout
+    live = np.nonzero(rows < n)[0]
+    rl, cl, vl = rows[live], cols[live], vals[live]
+    n_windows = -(-n // rb)
+    starts = np.searchsorted(rl, np.arange(n_windows) * rb)
+    ends = np.append(starts[1:], rl.shape[0])
+    exp_cols, exp_vals, exp_lrows, exp_src, exp_wmap = [], [], [], [], []
+    for w in range(n_windows):
+        lo, hi = int(starts[w]), int(ends[w])
+        for b in range(max(-(-(hi - lo) // eb), 1)):
+            s, e = lo + b * eb, min(lo + (b + 1) * eb, hi)
+            m = max(e - s, 0)
+            pad = eb - m
+            exp_cols.append(np.concatenate([cl[s:e], np.zeros(pad, np.int64)]))
+            exp_vals.append(np.concatenate([vl[s:e], np.zeros(pad, np.float32)]))
+            exp_lrows.append(np.concatenate([rl[s:e] - w * rb, np.full(pad, rb)]))
+            exp_src.append(np.concatenate([live[s:e], np.zeros(pad, np.int64)]))
+            exp_wmap.append(w)
+
+    assert blk.n_blocks == len(exp_wmap) and blk.n_windows == n_windows
+    np.testing.assert_array_equal(np.asarray(blk.wmap), np.asarray(exp_wmap))
+    np.testing.assert_array_equal(np.asarray(blk.cols), np.stack(exp_cols))
+    np.testing.assert_array_equal(np.asarray(blk.vals), np.stack(exp_vals))
+    np.testing.assert_array_equal(np.asarray(blk.local_rows), np.stack(exp_lrows))
+    np.testing.assert_array_equal(np.asarray(blk.src), np.stack(exp_src))
+    np.testing.assert_array_equal(np.asarray(blk.canon), canon[np.stack(exp_src)])
