@@ -111,9 +111,11 @@ def build_kgat(cfg: Config, cf: CFDeviceData, kg: KGDeviceData) -> ModelBundle:
     def batch_loss(params, extras, batch, rng):
         users, pos, neg = batch  # dense CF ids
         all_emb = module.apply(params, kg, extras["att_vals"], True, rngs={"dropout": rng})
-        u_emb = all_emb[kg.user_idx[users]]
-        p_emb = all_emb[kg.item_idx[pos]]
-        n_emb = all_emb[kg.item_idx[neg]]
+        # ONE merged user/pos/neg row gather (one backward scatter)
+        upn = all_emb[
+            jnp.concatenate([kg.user_idx[users], kg.item_idx[pos], kg.item_idx[neg]])
+        ]
+        u_emb, p_emb, n_emb = jnp.split(upn, 3, axis=0)
         pos_score = jnp.sum(u_emb * p_emb, axis=1)
         neg_score = jnp.sum(u_emb * n_emb, axis=1)
         cf_loss = jnp.mean(-jax.nn.log_sigmoid(pos_score - neg_score))
@@ -124,10 +126,14 @@ def build_kgat(cfg: Config, cf: CFDeviceData, kg: KGDeviceData) -> ModelBundle:
     def kg_batch_loss(params, extras, batch, rng):
         h, r, pos_t, neg_t = batch
         ent, rel, w = _tables(params)
-        r_emb = rel[r]
-        r_mul_h = project_by_relation(ent[h], w, r)
-        r_mul_pos = project_by_relation(ent[pos_t], w, r)
-        r_mul_neg = project_by_relation(ent[neg_t], w, r)
+        from .kg_common import relation_lookup
+
+        r_emb = relation_lookup(rel, r)
+        # one merged h/pos/neg gather + one batched projection (same r)
+        proj3 = project_by_relation(
+            ent[jnp.concatenate([h, pos_t, neg_t])], w, jnp.concatenate([r, r, r])
+        )
+        r_mul_h, r_mul_pos, r_mul_neg = jnp.split(proj3, 3, axis=0)
         pos_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_pos), axis=1)
         neg_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_neg), axis=1)
         kg_loss = jnp.mean(-jax.nn.log_sigmoid(neg_score - pos_score))
