@@ -36,8 +36,10 @@ from flax import struct
 import os
 
 # default tile sizes; override per-layout via pack_blocked(edge_block=,
-# row_block=) or globally via env (tuning harness: scripts/bisect_pallas.py)
-EDGE_BLOCK = int(os.environ.get("HGDR_EDGE_BLOCK", 1024))
+# row_block=) or globally via env (tuning harness: scripts/bisect_pallas.py).
+# eb=512/rb=256 won the clean tile sweep (floor-corrected harness) and a
+# 4-run bench A/B (~+5% e2e over eb=1024) — see BENCH_NOTES.md
+EDGE_BLOCK = int(os.environ.get("HGDR_EDGE_BLOCK", 512))
 ROW_BLOCK = int(os.environ.get("HGDR_ROW_BLOCK", 256))
 
 
