@@ -34,12 +34,20 @@ def generate_interactions(
     user_id_offset: int | None = None,
     affinity: float = 8.0,
     cluster_seed: int | None = None,
+    pop_scale: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Return raw (user, item) pairs with planted cluster structure."""
+    """Return raw (user, item) pairs with planted cluster structure.
+
+    `pop_scale` (optional [n_items] multiplier) damps/boosts item draw
+    weights — used by the cold-item (KG-informative) regime. None keeps
+    the historical rng stream bit-for-bit.
+    """
     rng = np.random.default_rng(seed)
     item_cluster = _item_clusters(n_items, n_clusters, seed if cluster_seed is None else cluster_seed)
     item_pop = rng.zipf(1.5, n_items).astype(np.float64)
     item_pop = np.clip(item_pop, 1, 50)
+    if pop_scale is not None:
+        item_pop = item_pop * np.asarray(pop_scale, np.float64)
 
     user_main = rng.integers(0, n_clusters, n_users)
     user_second = rng.integers(0, n_clusters, n_users)
@@ -108,20 +116,87 @@ def synthetic_dataset(
     seed: int = 7,
     with_kg: bool = False,
     train_frac: float = 0.75,
+    cold_item_frac: float = 0.0,
 ):
     """Full synthetic bundle: (train_pairs, test_pairs, kg_df | None).
 
     User entity ids start after item+attribute entities so that KG and CF
     id spaces compose exactly like the reference's processed datasets.
+
+    `cold_item_frac` > 0 switches on the KG-INFORMATIVE regime: that
+    fraction of items is damped ~20x in the train draw (kept >= 1 train
+    edge each so they stay scoreable) while the test set gains
+    cluster-matched interactions for them. Their cluster identity then
+    survives mainly in the KG attributes — the setting where KG-aware
+    models (KGAT/KHGRec) can separate from CF-only propagation. With
+    0.0 the historical rng stream is untouched.
     """
     n_attrs = n_clusters * 8
     offset = n_items + n_attrs if with_kg else n_items
+    rng_cold = np.random.default_rng(seed + 9000)
+    pop_scale = None
+    cold_items = None
+    if cold_item_frac > 0.0:
+        cold_items = rng_cold.choice(
+            n_items, max(int(n_items * cold_item_frac), 1), replace=False
+        )
+        pop_scale = np.ones(n_items)
+        pop_scale[cold_items] = 0.05
     pairs = generate_interactions(
-        n_users, n_items, n_clusters, mean_degree, seed, user_id_offset=offset, cluster_seed=seed
+        n_users, n_items, n_clusters, mean_degree, seed, user_id_offset=offset,
+        cluster_seed=seed, pop_scale=pop_scale,
     )
     rng = np.random.default_rng(seed + 1)
     perm = rng.permutation(len(pairs))
     n_train = int(len(pairs) * train_frac)
     train, test = pairs[perm[:n_train]], pairs[perm[n_train:]]
+    if cold_items is not None:
+        train, test = _add_cold_item_test(
+            train, test, cold_items, n_items, n_clusters, seed, offset, n_users, rng_cold
+        )
     kg = generate_kg(n_items, n_clusters, seed=seed + 2, cluster_seed=seed) if with_kg else None
     return train, test, kg
+
+
+def _add_cold_item_test(
+    train, test, cold_items, n_items, n_clusters, seed, user_id_offset, n_users, rng,
+    per_item: int = 4,
+):
+    """Cold-item regime plumbing: guarantee each cold item >= 1 train
+    edge (stays in the scoreable catalog) and append cluster-matched
+    TEST interactions for it.
+
+    User->cluster affinity is inferred from the train pairs (majority
+    cluster of interacted items), so the historical interaction rng
+    stream stays untouched.
+    """
+    item_cluster = _item_clusters(n_items, n_clusters, seed)
+    # majority train cluster per user
+    u_idx = train[:, 0] - user_id_offset
+    votes = np.zeros((n_users, n_clusters), np.int64)
+    np.add.at(votes, (u_idx, item_cluster[train[:, 1]]), 1)
+    user_cluster = votes.argmax(axis=1)
+
+    # ensure every cold item has at least one train edge
+    have = np.zeros(item_cluster.shape[0], bool)
+    have[train[:, 1]] = True
+    extra_train = []
+    for it in cold_items[~have[cold_items]]:
+        cand = np.nonzero(user_cluster == item_cluster[it])[0]
+        u = int(rng.choice(cand)) if len(cand) else int(rng.integers(0, n_users))
+        extra_train.append((user_id_offset + u, it))
+
+    # cluster-matched test interactions for cold items
+    extra_test = []
+    for it in cold_items:
+        cand = np.nonzero(user_cluster == item_cluster[it])[0]
+        if len(cand) == 0:
+            continue
+        us = rng.choice(cand, min(per_item, len(cand)), replace=False)
+        extra_test.extend((user_id_offset + int(u), int(it)) for u in us)
+
+    if extra_train:
+        train = np.concatenate([train, np.asarray(extra_train, train.dtype)])
+    if extra_test:
+        test = np.concatenate([test, np.asarray(extra_test, test.dtype)])
+    return train, test
