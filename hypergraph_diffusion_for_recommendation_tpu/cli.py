@@ -65,6 +65,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mess_dropout", type=str, default=None, help="e.g. '[0.1, 0.1, 0.1]'")
     p.add_argument("--early_stopping_steps", type=int, default=None)
     p.add_argument("--evaluate_every", type=int, default=None)
+    # accepted for reference run-script compatibility (main.py:16,87-89):
+    # gpu_id is meaningless on TPU; print cadences map to log verbosity
+    p.add_argument("--gpu_id", type=int, default=0,
+                   help="ignored (TPU backend; kept for reference-script compatibility)")
+    p.add_argument("--cf_print_every", type=int, default=1, help="ignored (per-epoch logging)")
+    p.add_argument("--kg_print_every", type=int, default=1, help="ignored (per-epoch logging)")
     # TPU-native additions
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
