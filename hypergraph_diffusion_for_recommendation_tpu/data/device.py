@@ -111,9 +111,15 @@ def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals, canon_map=None)
         or not (PALLAS_MIN_NNZ <= sp.nnz <= PALLAS_MAX_NNZ)
     ):
         return sp
-    from ..ops.pallas.segment_spmm import pack_blocked
+    from ..ops.pallas.segment_spmm import pack_blocked, pack_blocked_dedup
 
-    blocked = pack_blocked(
+    # HGDR_DEDUP=1 opts into the deduplicated-gather layout: wins only on
+    # graphs with high within-window column multiplicity (>~4x); at the
+    # bench graphs' ~2x it measured break-even-to-slower because the
+    # in-kernel one-hot expansion costs more MXU time than the row-rate
+    # -bound gather saves (BENCH_NOTES.md, round 3).
+    pack = pack_blocked_dedup if os.environ.get("HGDR_DEDUP") == "1" else pack_blocked
+    blocked = pack(
         h_rows, h_cols, h_vals, sp.shape, bf16=PALLAS_BF16, canon_map=canon_map
     )
     return sp.replace(blocked=blocked)

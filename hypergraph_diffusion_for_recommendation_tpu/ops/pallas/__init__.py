@@ -1,3 +1,3 @@
-from .segment_spmm import BlockedCOO, blocked_spmm, pack_blocked
+from .segment_spmm import BlockedCOO, blocked_spmm, pack_blocked, pack_blocked_dedup
 
-__all__ = ["BlockedCOO", "blocked_spmm", "pack_blocked"]
+__all__ = ["BlockedCOO", "blocked_spmm", "pack_blocked", "pack_blocked_dedup"]

@@ -41,6 +41,7 @@ import os
 # 4-run bench A/B (~+5% e2e over eb=1024) — see BENCH_NOTES.md
 EDGE_BLOCK = int(os.environ.get("HGDR_EDGE_BLOCK", 512))
 ROW_BLOCK = int(os.environ.get("HGDR_ROW_BLOCK", 256))
+UNIQUE_BLOCK = int(os.environ.get("HGDR_UNIQUE_BLOCK", 256))
 
 
 @struct.dataclass
@@ -70,6 +71,18 @@ class BlockedCOO:
     bf16: bool = struct.field(pytree_node=False, default=False)
     eb: int = struct.field(pytree_node=False, default=1024)  # edge block
     rb: int = struct.field(pytree_node=False, default=256)  # row window
+    # --- deduplicated-gather layout (optional) ---------------------------
+    # TPU gathers are ROW-RATE bound, so gathering each distinct column
+    # once per block (instead of once per edge) cuts the dominant spmm
+    # cost by the within-window column multiplicity (~1.8x on the bench
+    # graphs). Edge order inside a row window is free (the kernel
+    # accumulates into the window tile), so the packer col-sorts each
+    # window and closes a block at `eb` edges OR `ub` distinct columns.
+    # The kernel then expands X[ucols] -> per-edge rows with a second
+    # one-hot MXU contraction — no HBM round-trip for the duplication.
+    ucols: jnp.ndarray | None = None  # [n_blocks, ub] int32 distinct cols (pad 0)
+    local_cols: jnp.ndarray | None = None  # [n_blocks, eb] int32 in [0, ub); pad = ub
+    ub: int = struct.field(pytree_node=False, default=0)  # unique-col budget
 
 
 def pack_blocked(
@@ -142,6 +155,117 @@ def pack_blocked(
     )
 
 
+def pack_blocked_dedup(
+    rows, cols, vals, shape, bf16: bool = False,
+    edge_block: int | None = None, row_block: int | None = None,
+    unique_block: int | None = None, canon_map=None,
+) -> BlockedCOO:
+    """Dedup-gather packing: col-sort edges inside each row window and
+    close a block at `eb` edges or `ub` distinct columns, so the XLA-side
+    gather fetches [n_blocks, ub, d] distinct rows instead of
+    [n_blocks, eb, d] per-edge rows (~1.8x fewer gathered rows on the
+    bench graphs; TPU gathers are row-rate bound).
+
+    Same contract as `pack_blocked` (`src`/`canon` in the INPUT array's
+    index space, live edges sorted by row); the within-window edge
+    permutation is invisible to callers because the kernel accumulates
+    into the window's output tile.
+    """
+    eb = EDGE_BLOCK if edge_block is None else edge_block
+    rb = ROW_BLOCK if row_block is None else row_block
+    ub = UNIQUE_BLOCK if unique_block is None else unique_block
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    live_idx = np.nonzero(rows < shape[0])[0]
+    rows_l, cols_l, vals_l = rows[live_idx], cols[live_idx], vals[live_idx]
+    w_l = rows_l // rb
+
+    # col-sort within each window (global lexsort by (window, col, row))
+    order = np.lexsort((rows_l, cols_l, w_l))
+    rows_s, cols_s, vals_s, src_s, w_s = (
+        rows_l[order], cols_l[order], vals_l[order], live_idx[order], w_l[order]
+    )
+    n_live = rows_s.shape[0]
+    n_windows = max(-(-shape[0] // rb), 1)
+
+    # distinct-col rank within each window: 0-based index of each edge's
+    # col among the window's sorted distinct cols
+    if n_live:
+        new_run = np.empty(n_live, bool)
+        new_run[0] = True
+        new_run[1:] = (w_s[1:] != w_s[:-1]) | (cols_s[1:] != cols_s[:-1])
+        run_id = np.cumsum(new_run) - 1  # global distinct-run id
+        w_start = np.searchsorted(w_s, np.arange(n_windows), side="left")
+        w_end = np.searchsorted(w_s, np.arange(n_windows), side="right")
+        first_run = np.zeros(n_windows, np.int64)
+        nonempty = w_start < w_end
+        first_run[nonempty] = run_id[w_start[nonempty]]
+        uid = run_id - first_run[w_s]  # distinct rank within window
+    else:
+        run_id = uid = np.zeros(0, np.int64)
+        w_start = w_end = np.zeros(n_windows, np.int64)
+
+    # greedy segmentation per window: close at eb edges or ub uniques.
+    # A cut can split a run of equal cols; the straddling col is simply
+    # gathered again by the next block.
+    block_bounds = []  # (window, start, end) over the sorted arrays
+    for wi in range(n_windows):
+        s, e = int(w_start[wi]), int(w_end[wi])
+        if s == e:
+            block_bounds.append((wi, s, s))  # all-pad block
+            continue
+        i = s
+        while i < e:
+            j_cap = min(i + eb, e)
+            # last j with uid[j-1] - uid[i] + 1 <= ub
+            j_u = i + np.searchsorted(uid[i:e], uid[i] + ub, side="left")
+            j = min(j_cap, j_u)
+            block_bounds.append((wi, i, int(j)))
+            i = int(j)
+
+    n_blocks = len(block_bounds)
+    cols_b = np.zeros((n_blocks, eb), np.int64)
+    vals_b = np.zeros((n_blocks, eb), np.float32)
+    lrows_b = np.full((n_blocks, eb), rb, np.int64)
+    lcols_b = np.full((n_blocks, eb), ub, np.int64)
+    src_b = np.zeros((n_blocks, eb), np.int64)
+    ucols_b = np.zeros((n_blocks, ub), np.int64)
+    wmap_np = np.zeros(n_blocks, np.int64)
+    for b, (wi, i, j) in enumerate(block_bounds):
+        wmap_np[b] = wi
+        n = j - i
+        if n == 0:
+            continue
+        cols_b[b, :n] = cols_s[i:j]
+        vals_b[b, :n] = vals_s[i:j]
+        lrows_b[b, :n] = rows_s[i:j] - wi * rb
+        src_b[b, :n] = src_s[i:j]
+        lc = uid[i:j] - uid[i]
+        lcols_b[b, :n] = lc
+        ucols_b[b, lc] = cols_s[i:j]
+
+    canon_np = src_b if canon_map is None else np.asarray(canon_map)[src_b]
+    return BlockedCOO(
+        cols=jnp.asarray(cols_b.astype(np.int32)),
+        vals=jnp.asarray(vals_b),
+        local_rows=jnp.asarray(lrows_b.astype(np.int32)),
+        wmap=jnp.asarray(wmap_np.astype(np.int32)),
+        src=jnp.asarray(src_b.astype(np.int32)),
+        canon=jnp.asarray(canon_np.astype(np.int32)),
+        nrows=int(shape[0]),
+        ncols=int(shape[1]),
+        n_blocks=n_blocks,
+        n_windows=n_windows,
+        bf16=bf16,
+        eb=eb,
+        rb=rb,
+        ucols=jnp.asarray(ucols_b.astype(np.int32)),
+        local_cols=jnp.asarray(lcols_b.astype(np.int32)),
+        ub=ub,
+    )
+
+
 def _segment_matmul_kernel(wmap_ref, lrows_ref, vals_ref, g_ref, out_ref, *, eb, rb):
     b = pl.program_id(0)
     lrows = lrows_ref[0]  # [eb, 1] (trailing 1 satisfies TPU tiling)
@@ -163,6 +287,55 @@ def _segment_matmul_kernel(wmap_ref, lrows_ref, vals_ref, g_ref, out_ref, *, eb,
     )
     partial_out = jax.lax.dot_general(
         onehot, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    is_first = b == 0
+    prev_idx = jnp.maximum(b - 1, 0)
+    new_window = jnp.logical_or(is_first, wmap_ref[b] != wmap_ref[prev_idx])
+
+    @pl.when(new_window)
+    def _():
+        out_ref[0] = partial_out
+
+    @pl.when(jnp.logical_not(new_window))
+    def _():
+        out_ref[0] = out_ref[0] + partial_out
+
+
+def _segment_matmul_dedup_kernel(
+    wmap_ref, lrows_ref, vals_ref, lcols_ref, g_ref, out_ref, *, eb, rb, ub
+):
+    """Dedup variant: g holds the block's DISTINCT column rows [ub, d];
+    a one-hot MXU contraction expands them to per-edge rows in VMEM
+    (each output row selects exactly one g row, so the expansion is
+    numerically exact), then the scaled row one-hot reduces to the
+    window tile as in the base kernel."""
+    b = pl.program_id(0)
+    lrows = lrows_ref[0]  # [eb, 1]
+    vals = vals_ref[0]  # [eb, 1]
+    lcols = lcols_ref[0]  # [eb, 1] in [0, ub); pad = ub (matches no col)
+    g = g_ref[0]  # [ub, d] distinct gathered rows
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, ub), 1)
+    onehot_c = (lcols == col_ids).astype(g.dtype)
+    # exact row copy: one nonzero per output row -> no accumulation error
+    # (Mosaic requires f32 matmul accumulation; the cast back to bf16 of
+    # a value that IS a bf16 row is exact)
+    expanded = jax.lax.dot_general(
+        onehot_c, g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
+        if g.dtype != jnp.bfloat16
+        else jax.lax.Precision.DEFAULT,
+    ).astype(g.dtype)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, rb), 1)
+    onehot_r = (lrows == row_ids).astype(g.dtype) * vals.astype(g.dtype)
+    precision = (
+        jax.lax.Precision.DEFAULT if g.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
+    partial_out = jax.lax.dot_general(
+        onehot_r, expanded, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -217,13 +390,37 @@ def _blocked_spmm_fwd_only(
     d = x.shape[1]
     v = _packed_vals(blocked, vals)
     gdtype = jnp.bfloat16 if blocked.bf16 else jnp.float32
+    vblk = v.reshape(nb, eb, 1).astype(gdtype)
+    lrows = blocked.local_rows.reshape(nb, eb, 1)
+
+    if blocked.ucols is not None:
+        # dedup layout: gather each block's DISTINCT cols only
+        ub = blocked.ub
+        gathered = x.astype(gdtype)[blocked.ucols.reshape(-1)].reshape(nb, ub, d)
+        lcols = blocked.local_cols.reshape(nb, eb, 1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
+                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
+                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
+                pl.BlockSpec((1, ub, d), lambda b, wmap: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, rb, d), lambda b, wmap: (wmap[b], 0, 0)),
+        )
+        out = pl.pallas_call(
+            partial(_segment_matmul_dedup_kernel, eb=eb, rb=rb, ub=ub),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((blocked.n_windows, rb, d), jnp.float32),
+            interpret=interpret,
+        )(blocked.wmap, lrows, vblk, lcols, gathered)
+        return out.reshape(-1, d)[: blocked.nrows].astype(x.dtype)
+
     # cast the TABLE once (cheap: [n, d]) and gather raw rows; the edge
     # -value multiply rides the kernel's scaled one-hot, so no [nnz, d]
     # elementwise pass runs between the gather and the MXU
     gathered = x.astype(gdtype)[blocked.cols.reshape(-1)].reshape(nb, eb, d)
-    vblk = v.reshape(nb, eb, 1).astype(gdtype)
-
-    lrows = blocked.local_rows.reshape(nb, eb, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),

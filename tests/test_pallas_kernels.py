@@ -203,3 +203,47 @@ def test_pack_blocked_matches_naive():
     np.testing.assert_array_equal(np.asarray(blk.local_rows), np.stack(exp_lrows))
     np.testing.assert_array_equal(np.asarray(blk.src), np.stack(exp_src))
     np.testing.assert_array_equal(np.asarray(blk.canon), canon[np.stack(exp_src)])
+
+
+def test_pack_blocked_dedup_matches_scipy(rng):
+    """Dedup-gather layout: forward, vals-override, and VJP all exact."""
+    import jax
+    from hypergraph_diffusion_for_recommendation_tpu.ops.pallas.segment_spmm import (
+        pack_blocked_dedup,
+    )
+
+    n, m = 500, 700
+    # include a hot column so blocks actually deduplicate
+    rows = np.concatenate([rng.integers(0, n, 4000), rng.integers(0, n, 2000)])
+    cols = np.concatenate([rng.integers(0, m, 4000), np.full(2000, 3)])
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    x = rng.standard_normal((m, 64)).astype(np.float32)
+    want = sps.coo_matrix((vals, (rows, cols)), shape=(n, m)) @ x
+
+    for eb, rb, ub in [(128, 64, 32), (64, 32, 64), (256, 128, 8)]:
+        blocked = pack_blocked_dedup(
+            rows, cols, vals, (n, m), edge_block=eb, row_block=rb, unique_block=ub
+        )
+        got = np.asarray(blocked_spmm(blocked, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    # vals-override + VJP on one config
+    blocked = pack_blocked_dedup(
+        rows, cols, vals, (n, m), edge_block=128, row_block=64, unique_block=32
+    )
+    new_vals = rng.standard_normal(vals.shape[0]).astype(np.float32)
+    got = np.asarray(
+        blocked_spmm(blocked, jnp.asarray(x), jnp.asarray(new_vals), interpret=True)
+    )
+    want2 = sps.coo_matrix((new_vals, (rows, cols)), shape=(n, m)) @ x
+    np.testing.assert_allclose(got, want2, rtol=3e-4, atol=3e-4)
+
+    f = lambda xx, vv: blocked_spmm(blocked, xx, vv, interpret=True).sum()
+    gx, gv = jax.grad(f, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(new_vals))
+    ones_ct = np.ones((n, 64), np.float32)
+    ref_gx = sps.coo_matrix((new_vals, (rows, cols)), shape=(n, m)).T @ ones_ct
+    ref_gv = (ones_ct[rows] * x[cols]).sum(1)
+    np.testing.assert_allclose(np.asarray(gx), ref_gx, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gv), ref_gv, rtol=3e-4, atol=3e-4)
