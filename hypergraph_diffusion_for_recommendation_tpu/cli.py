@@ -72,6 +72,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--cf_print_every", type=int, default=1, help="ignored (per-epoch logging)")
     p.add_argument("--kg_print_every", type=int, default=1, help="ignored (per-epoch logging)")
     # TPU-native additions
+    p.add_argument("--async_eval", action="store_true",
+                   help="one-epoch-lagged eval materialisation (overlaps the "
+                        "eval sync with the next train epoch; early stopping "
+                        "sees each recall one epoch late)")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--output_dir", type=str, default="./results")
@@ -95,6 +99,8 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         v = getattr(args, key)
         if v is not None:
             overrides[key] = v
+    if args.async_eval:
+        overrides["async_eval"] = True
     overrides["item_ranking"] = tuple(int(x) for x in args.item_ranking.split(","))
     if args.conv_dim_list:
         overrides["conv_dim_list"] = tuple(json.loads(args.conv_dim_list))

@@ -81,6 +81,15 @@ class Config:
     shard_min_rows: int = 1024  # min table rows before row-sharding kicks in
     eval_user_batch: int = 512  # users scored per eval block
     pad_multiple: int = 8  # pad nnz/rows to multiples of this
+    # async (one-epoch-lagged) eval: dispatch each epoch's eval without
+    # syncing and read its metrics only after the NEXT epoch has run, so
+    # the host->device round trip (expensive over a remote tunnel, and
+    # the full-catalog scorer at production scale) overlaps with the
+    # next train epoch. Metric VALUES, the best-model vote, and the
+    # recorded history are identical to the sync path; the only
+    # behavioural difference is that early stopping sees each recall one
+    # epoch late (at most one extra trained epoch).
+    async_eval: bool = False
 
     # --- artifacts ---
     output_dir: str = "./results"

@@ -704,31 +704,63 @@ class Trainer:
         train_time_total = 0.0
 
         last_metrics: dict | None = None
-        for ep in range(start_epoch, max_epoch):
-            t0 = time.time()
-            loss, aux = self.run_epoch(ep)
-            jax.block_until_ready(jax.tree.leaves(self.params)[0])
-            t1 = time.time()
-            # evaluate_every-epoch cadence (reference main.py:92-93)
-            if ep % max(cfg.evaluate_every, 1) == 0 or last_metrics is None:
-                metrics = self.evaluate()
+
+        def finalize(ep, loss, aux, dev_metrics, snap, train_t, eval_t) -> bool:
+            """Vote / record / log / early-stop for one trained epoch.
+            `dev_metrics` is the (possibly still in-flight) device metric
+            pytree or None to reuse the previous epoch's metrics
+            (evaluate_every cadence, reference main.py:92-93); `snap` is
+            the (params, extras) the eval was computed from."""
+            nonlocal best_perf, best_params, best_extras, last_metrics
+            if dev_metrics is not None:
+                metrics = metrics_to_host(dev_metrics, tuple(cfg.top_ns))
                 last_metrics = metrics
             else:
                 metrics = last_metrics
-            t2 = time.time()
-            examples += self.n_batches * cfg.batch_size
-            train_time_total += t1 - t0
-
             perf = metrics[max_n]
             # best-model vote (base/main_recommender.py:138-160)
             if best_perf is None:
                 best_perf, result.best_epoch = dict(perf), ep + 1
-                best_params, best_extras = self.params, self.extras
+                best_params, best_extras = snap
             else:
                 count = sum(1 if best_perf[k] > perf[k] else -1 for k in best_perf)
                 if count < 0:
                     best_perf, result.best_epoch = dict(perf), ep + 1
-                    best_params, best_extras = self.params, self.extras
+                    best_params, best_extras = snap
+
+            record = EpochRecord(ep, train_t, eval_t, aux, metrics)
+            result.history.append(record)
+            if artifacts is not None:
+                artifacts.on_epoch(record)
+            if not quiet:
+                log_fn(
+                    f"epoch {ep+1:3d} loss {loss:.4f} "
+                    + " ".join(f"{k}@{max_n}:{v:.5f}" for k, v in perf.items())
+                    + f" (train {train_t:.2f}s eval {eval_t:.2f}s)"
+                )
+            recall_list.append(perf["recall"])
+            _, should_stop = _early_stopping(recall_list, cfg.early_stopping_steps)
+            if should_stop and not quiet:
+                log_fn(f"early stop at epoch {ep+1}")
+            return should_stop
+
+        # async mode: at most one epoch's eval in flight (one-epoch lag)
+        pending = None
+        for ep in range(start_epoch, max_epoch):
+            t0 = time.time()
+            loss, aux = self.run_epoch(ep)
+            if not cfg.async_eval:
+                jax.block_until_ready(jax.tree.leaves(self.params)[0])
+            t1 = time.time()
+            examples += self.n_batches * cfg.batch_size
+            train_time_total += t1 - t0
+
+            do_eval = ep % max(cfg.evaluate_every, 1) == 0 or (
+                last_metrics is None and pending is None
+            )
+            dev_metrics = self._eval_fn(self.params, self.extras) if do_eval else None
+            snap = (self.params, self.extras)
+            t2 = time.time()
 
             if self.bundle.alternating:
                 # per-phase schedulers on per-phase losses (KGAT.py:68-69,140-141)
@@ -739,26 +771,25 @@ class Trainer:
             else:
                 self.plateau = self.plateau.step(loss)
                 self.opt_state = set_lr(self.opt_state, self.plateau.lr)
-
-            record = EpochRecord(ep, t1 - t0, t2 - t1, aux, metrics)
-            result.history.append(record)
-            if artifacts is not None:
-                artifacts.on_epoch(record)
             if ckpt is not None and (ep + 1) % ckpt_every == 0:
                 ckpt.save(ep, self.params, self.opt_state, self.extras, self.rng)
-            if not quiet:
-                log_fn(
-                    f"epoch {ep+1:3d} loss {loss:.4f} "
-                    + " ".join(f"{k}@{max_n}:{v:.5f}" for k, v in perf.items())
-                    + f" (train {t1-t0:.2f}s eval {t2-t1:.2f}s)"
-                )
 
-            recall_list.append(perf["recall"])
-            _, should_stop = _early_stopping(recall_list, cfg.early_stopping_steps)
-            if should_stop:
-                if not quiet:
-                    log_fn(f"early stop at epoch {ep+1}")
-                break
+            if cfg.async_eval:
+                # materialize the PREVIOUS epoch's metrics while this
+                # epoch's eval rides the device queue behind its train scan
+                cur = (ep, loss, aux, dev_metrics, snap, t1 - t0, t2 - t1)
+                if pending is not None and finalize(*pending):
+                    finalize(*cur)  # this epoch already trained; record it
+                    pending = None
+                    break
+                pending = cur
+            else:
+                if dev_metrics is not None:
+                    jax.block_until_ready(dev_metrics)
+                if finalize(ep, loss, aux, dev_metrics, snap, t1 - t0, time.time() - t1):
+                    break
+        if pending is not None:
+            finalize(*pending)
 
         # final test with best params (reference: user_emb <- best_user_emb
         # then test(), base/main_recommender.py:179-181)
