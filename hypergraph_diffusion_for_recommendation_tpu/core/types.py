@@ -68,8 +68,10 @@ def with_new_vals(sp: SparseCOO, vals: jnp.ndarray) -> SparseCOO:
 
 def from_scipy(mat, pad_multiple: int = 8, dtype=np.float32) -> SparseCOO:
     """Convert a scipy sparse matrix to row-sorted padded SparseCOO."""
+    from .. import native
+
     coo = mat.tocoo()
-    order = np.lexsort((coo.col, coo.row))
+    order = native.sort_pairs(coo.row, coo.col)
     rows = coo.row[order].astype(np.int32)
     cols = coo.col[order].astype(np.int32)
     vals = coo.data[order].astype(dtype)
@@ -104,7 +106,9 @@ def from_edges(
     if vals is None:
         vals = np.ones(rows.shape[0], dtype)
     vals = np.asarray(vals, dtype)
-    order = np.lexsort((cols, rows))
+    from .. import native
+
+    order = native.sort_pairs(rows, cols)
     rows, cols, vals = rows[order], cols[order], vals[order]
     nnz = rows.shape[0]
     nnz_pad = max(pad_to_multiple(nnz, pad_multiple), pad_multiple)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from .. import native
 from ..core.types import SparseCOO, from_edges, pad_to_multiple, padded_rows_from_lists
 from ..ops.dropout import hash_keep_mask
 from ..ops.sampling import CSRMembership, membership_from_lists
@@ -131,7 +132,7 @@ def make_adj_pair(rows, cols, vals, shape, pad_multiple: int = 8) -> AdjPair:
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, np.float32)
     nnz = rows.shape[0]
-    order = np.lexsort((cols, rows))
+    order = native.sort_pairs(rows, cols)
     rows, cols, vals = rows[order], cols[order], vals[order]
 
     nnz_pad = max(pad_to_multiple(max(nnz, 1), pad_multiple), pad_multiple)
@@ -141,7 +142,7 @@ def make_adj_pair(rows, cols, vals, shape, pad_multiple: int = 8) -> AdjPair:
     f_cols = np.concatenate([cols, np.zeros(pad, np.int64)]).astype(np.int32)
     f_vals = np.concatenate([vals, np.zeros(pad, np.float32)])
 
-    t_order = np.lexsort((rows, cols))  # transpose: sort by (col, row)
+    t_order = native.sort_pairs(cols, rows)  # transpose: sort by (col, row)
     b_rows = np.concatenate([cols[t_order], np.full(pad, shape[1], np.int64)]).astype(np.int32)
     b_cols = np.concatenate([rows[t_order], np.zeros(pad, np.int64)]).astype(np.int32)
     t_perm = np.concatenate([t_order, np.arange(nnz, nnz_pad)]).astype(np.int32)
@@ -291,14 +292,14 @@ def build_cf_device_data(
     # raw bipartite adjacency with per-entry provenance to interaction edges
     n_users, n_items = inter.n_users, inter.n_items
     icoo = inter.interaction_mat.tocoo()
-    iorder = np.lexsort((icoo.col, icoo.row))  # raw_int.fwd order
+    iorder = native.sort_pairs(icoo.row, icoo.col)  # raw_int.fwd order
     iu, ii = icoo.row[iorder], icoo.col[iorder]
     n_int = iu.shape[0]
     src = np.arange(n_int)
     bip_rows = np.concatenate([iu, ii + n_users])
     bip_cols = np.concatenate([ii + n_users, iu])
     bip_src0 = np.concatenate([src, src])
-    border = np.lexsort((bip_cols, bip_rows))
+    border = native.sort_pairs(bip_rows, bip_cols)
     raw_adj = make_adj_pair(
         bip_rows[border], bip_cols[border], np.ones(2 * n_int, np.float32),
         (n_users + n_items, n_users + n_items), pad_multiple,
@@ -362,7 +363,7 @@ def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceDa
     kg_adj = adj_pair_from_scipy(kg.norm_kg_adj, pad_multiple)
 
     n_kg = kg.h.shape[0]
-    order = np.lexsort((kg.t, kg.h))
+    order = native.sort_pairs(kg.h, kg.t)
     h_s = kg.h[order]
     r_s = kg.r[order]
     t_s = kg.t[order]
@@ -373,7 +374,7 @@ def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceDa
     t_p = np.concatenate([t_s, np.zeros(pad, np.int32)])
     valid = np.concatenate([np.ones(n_kg, bool), np.zeros(pad, bool)])
 
-    t_order = np.lexsort((h_s, t_s))
+    t_order = native.sort_pairs(t_s, h_s)
     att_h_t = np.concatenate([t_s[t_order], np.full(pad, kg.n_entities, np.int32)])
     att_t_t = np.concatenate([h_s[t_order], np.zeros(pad, np.int32)])
     t_perm = np.concatenate([t_order, np.arange(n_kg, nnz_pad)]).astype(np.int32)

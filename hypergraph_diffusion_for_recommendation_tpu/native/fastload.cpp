@@ -119,6 +119,112 @@ int64_t hd_factorize(const int64_t* vals, int64_t n, int32_t* codes, int64_t* un
     return n_unique;
 }
 
+// Stable argsort of (major, minor) int64 key pairs — the np.lexsort
+// replacement for adjacency construction (make_adj_pair sorts every
+// edge list twice per pair; np.lexsort is the host-build hot spot at
+// >1M nnz). LSD radix over 16-bit digits: 2 passes on minor, then 2
+// stable passes on major. Keys must be non-negative (graph ids).
+// perm: out int64[n].
+int64_t hd_sort_pairs(const int64_t* major, const int64_t* minor, int64_t n,
+                      int64_t* perm) {
+    if (n <= 0) return 0;
+    int64_t* cur = perm;
+    int64_t* alt = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* counts = (int64_t*)malloc(65536 * sizeof(int64_t));
+    if (!alt || !counts) { free(alt); free(counts); return -1; }
+    for (int64_t i = 0; i < n; ++i) cur[i] = i;
+
+    // find max to skip dead passes
+    int64_t max_major = 0, max_minor = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (major[i] > max_major) max_major = major[i];
+        if (minor[i] > max_minor) max_minor = minor[i];
+    }
+
+    const int64_t* keysets[2] = {minor, major};
+    const int64_t maxes[2] = {max_minor, max_major};
+    for (int k = 0; k < 2; ++k) {
+        const int64_t* key = keysets[k];
+        for (int shift = 0; shift < 64; shift += 16) {
+            if ((maxes[k] >> shift) == 0 && shift > 0) break;
+            memset(counts, 0, 65536 * sizeof(int64_t));
+            for (int64_t i = 0; i < n; ++i)
+                ++counts[(key[cur[i]] >> shift) & 0xFFFF];
+            int64_t run = 0;
+            for (int d = 0; d < 65536; ++d) {
+                int64_t c = counts[d];
+                counts[d] = run;
+                run += c;
+            }
+            for (int64_t i = 0; i < n; ++i)
+                alt[counts[(key[cur[i]] >> shift) & 0xFFFF]++] = cur[i];
+            int64_t* tmp = cur; cur = alt; alt = tmp;
+        }
+    }
+    if (cur != perm) memcpy(perm, cur, n * sizeof(int64_t));
+    free(cur == perm ? alt : cur);
+    free(counts);
+    return 0;
+}
+
+// Single-pass blocked-COO packer (the pallas row-window layout,
+// ops/pallas/segment_spmm.py:pack_blocked). Inputs are the LIVE edges
+// sorted by row (pads stripped by the caller; src ids are then the
+// plain positions 0..n-1). Phase 1 (out_cols == null): return the
+// block count. Phase 2: fill the [n_blocks, eb] slot arrays
+// (cols/vals/local_rows/src) and [n_blocks] wmap. Empty windows get
+// one all-pad block so every output tile is written.
+int64_t hd_pack_blocked(const int32_t* rows, const int32_t* cols,
+                        const float* vals, int64_t n_live, int64_t nrows,
+                        int64_t eb, int64_t rb,
+                        int32_t* out_cols, float* out_vals,
+                        int32_t* out_lrows, int32_t* out_src,
+                        int32_t* out_wmap) {
+    int64_t n_windows = (nrows + rb - 1) / rb;
+    if (n_windows < 1) n_windows = 1;
+
+    // window start offsets over the row-sorted edge array
+    int64_t n_blocks = 0;
+    {
+        int64_t i = 0;
+        for (int64_t w = 0; w < n_windows; ++w) {
+            int64_t hi = (w + 1) * rb;
+            int64_t start = i;
+            while (i < n_live && rows[i] < hi) ++i;
+            int64_t cnt = i - start;
+            int64_t b = (cnt + eb - 1) / eb;
+            n_blocks += b > 0 ? b : 1;
+        }
+    }
+    if (out_cols == nullptr) return n_blocks;
+
+    // fill: pad defaults first (cols 0, vals 0, lrows = rb, src 0)
+    memset(out_cols, 0, n_blocks * eb * sizeof(int32_t));
+    memset(out_vals, 0, n_blocks * eb * sizeof(float));
+    memset(out_src, 0, n_blocks * eb * sizeof(int32_t));
+    for (int64_t s = 0; s < n_blocks * eb; ++s) out_lrows[s] = (int32_t)rb;
+
+    int64_t i = 0, blk = 0;
+    for (int64_t w = 0; w < n_windows; ++w) {
+        int64_t hi = (w + 1) * rb;
+        int64_t start = i;
+        while (i < n_live && rows[i] < hi) ++i;
+        int64_t cnt = i - start;
+        int64_t nb = cnt > 0 ? (cnt + eb - 1) / eb : 1;
+        for (int64_t b = 0; b < nb; ++b) out_wmap[blk + b] = (int32_t)w;
+        for (int64_t e = 0; e < cnt; ++e) {
+            int64_t p = start + e;
+            int64_t slot = (blk + e / eb) * eb + e % eb;
+            out_cols[slot] = cols[p];
+            out_vals[slot] = vals[p];
+            out_lrows[slot] = (int32_t)(rows[p] - w * rb);
+            out_src[slot] = (int32_t)p;
+        }
+        blk += nb;
+    }
+    return n_blocks;
+}
+
 void hd_free(void* p) { free(p); }
 
 }  // extern "C"

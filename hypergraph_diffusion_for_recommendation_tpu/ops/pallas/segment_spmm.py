@@ -106,6 +106,34 @@ def pack_blocked(
     live_idx = np.nonzero(rows < shape[0])[0]
     rows_l, cols_l, vals_l = rows[live_idx], cols[live_idx], vals[live_idx]
 
+    # native single-pass packer (fastload.cpp:hd_pack_blocked) for large
+    # graphs when the live edges are a prefix of the input (the padded
+    # formats always put pads last), so native src == plain positions
+    if rows_l.shape[0] >= (1 << 17) and (
+        live_idx.size == 0 or live_idx[-1] == live_idx.size - 1
+    ):
+        from ... import native
+
+        packed = native.pack_blocked_arrays(rows_l, cols_l, vals_l, shape[0], eb, rb)
+        if packed is not None:
+            cols_n, vals_n, lrows_n, src_n, wmap_n = packed
+            canon_n = src_n if canon_map is None else np.asarray(canon_map)[src_n].astype(np.int32)
+            return BlockedCOO(
+                cols=jnp.asarray(cols_n),
+                vals=jnp.asarray(vals_n),
+                local_rows=jnp.asarray(lrows_n),
+                wmap=jnp.asarray(wmap_n),
+                src=jnp.asarray(src_n),
+                canon=jnp.asarray(canon_n),
+                nrows=int(shape[0]),
+                ncols=int(shape[1]),
+                n_blocks=int(cols_n.shape[0]),
+                n_windows=max(-(-shape[0] // rb), 1),
+                bf16=bf16,
+                eb=eb,
+                rb=rb,
+            )
+
     n_windows = max(-(-shape[0] // rb), 1)
     starts = np.searchsorted(rows_l, np.arange(n_windows) * rb, side="left")
     ends = np.append(starts[1:], rows_l.shape[0])
