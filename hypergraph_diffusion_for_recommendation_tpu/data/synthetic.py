@@ -35,14 +35,31 @@ def generate_interactions(
     affinity: float = 8.0,
     cluster_seed: int | None = None,
     pop_scale: np.ndarray | None = None,
+    hierarchy: tuple[int, int] | None = None,
+    sibling_affinity: float | None = None,
+    min_degree: int = 5,
 ) -> np.ndarray:
     """Return raw (user, item) pairs with planted cluster structure.
 
     `pop_scale` (optional [n_items] multiplier) damps/boosts item draw
     weights — used by the cold-item (KG-informative) regime. None keeps
     the historical rng stream bit-for-bit.
+
+    `hierarchy=(n_coarse, n_fine_per)` switches to the HIERARCHICAL
+    regime (`n_clusters` is then ignored; fine clusters = the product):
+    each user prefers one FINE cluster with `affinity` but also its
+    SIBLING fine clusters (same coarse parent) with `sibling_affinity`
+    (default affinity/2). With a low `mean_degree`, a user's few train
+    edges scatter over the whole coarse family, so identifying the fine
+    cluster requires aggregating evidence across structurally similar
+    users — the multi-hop / hypergraph-diffusion setting, as opposed to
+    the flat regime where 1-hop co-occurrence already carries the
+    signal.
     """
     rng = np.random.default_rng(seed)
+    if hierarchy is not None:
+        n_coarse, n_fine_per = hierarchy
+        n_clusters = n_coarse * n_fine_per
     item_cluster = _item_clusters(n_items, n_clusters, seed if cluster_seed is None else cluster_seed)
     item_pop = rng.zipf(1.5, n_items).astype(np.float64)
     item_pop = np.clip(item_pop, 1, 50)
@@ -52,7 +69,9 @@ def generate_interactions(
     user_main = rng.integers(0, n_clusters, n_users)
     user_second = rng.integers(0, n_clusters, n_users)
 
-    degrees = np.clip(rng.lognormal(np.log(mean_degree), 0.6, n_users), 5, n_items // 4).astype(int)
+    degrees = np.clip(
+        rng.lognormal(np.log(mean_degree), 0.6, n_users), min_degree, n_items // 4
+    ).astype(int)
 
     if user_id_offset is None:
         user_id_offset = n_items
@@ -60,15 +79,25 @@ def generate_interactions(
     rows = []
     base = item_pop.copy()
     log_base = np.log(base)
+    if hierarchy is not None:
+        sib = affinity / 2.0 if sibling_affinity is None else sibling_affinity
+        item_coarse = item_cluster // n_fine_per
     for u in range(n_users):
         # weighted sampling WITHOUT replacement via the Gumbel top-k
         # trick: argtop(log w + Gumbel) ~ successive draws from p ∝ w
         # (O(n_items) per user; rng.choice(replace=False, p=...) is
         # O(n_items * degree) and dominates build time at ML-1M scale)
-        logw = log_base + np.log1p(
-            affinity * (item_cluster == user_main[u])
-            + 0.5 * affinity * (item_cluster == user_second[u])
-        )
+        if hierarchy is not None:
+            fine = user_main[u]
+            logw = log_base + np.log1p(
+                affinity * (item_cluster == fine)
+                + sib * ((item_coarse == fine // n_fine_per) & (item_cluster != fine))
+            )
+        else:
+            logw = log_base + np.log1p(
+                affinity * (item_cluster == user_main[u])
+                + 0.5 * affinity * (item_cluster == user_second[u])
+            )
         g = rng.gumbel(size=n_items)
         d = degrees[u]
         items = np.argpartition(-(logw + g), d)[:d]
@@ -117,6 +146,10 @@ def synthetic_dataset(
     with_kg: bool = False,
     train_frac: float = 0.75,
     cold_item_frac: float = 0.0,
+    hierarchy: tuple[int, int] | None = None,
+    sibling_affinity: float | None = None,
+    affinity: float = 8.0,
+    min_degree: int = 5,
 ):
     """Full synthetic bundle: (train_pairs, test_pairs, kg_df | None).
 
@@ -131,6 +164,8 @@ def synthetic_dataset(
     models (KGAT/KHGRec) can separate from CF-only propagation. With
     0.0 the historical rng stream is untouched.
     """
+    if hierarchy is not None:
+        n_clusters = hierarchy[0] * hierarchy[1]
     n_attrs = n_clusters * 8
     offset = n_items + n_attrs if with_kg else n_items
     rng_cold = np.random.default_rng(seed + 9000)
@@ -144,7 +179,8 @@ def synthetic_dataset(
         pop_scale[cold_items] = 0.05
     pairs = generate_interactions(
         n_users, n_items, n_clusters, mean_degree, seed, user_id_offset=offset,
-        cluster_seed=seed, pop_scale=pop_scale,
+        cluster_seed=seed, pop_scale=pop_scale, hierarchy=hierarchy,
+        sibling_affinity=sibling_affinity, affinity=affinity, min_degree=min_degree,
     )
     rng = np.random.default_rng(seed + 1)
     perm = rng.permutation(len(pairs))

@@ -22,6 +22,16 @@ def main(argv=None):
     p.add_argument("--reg", type=float, default=1e-5)
     p.add_argument("--margin", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    # ReAlE knobs (reference conf/kg_embedding/RealE.conf)
+    p.add_argument("--window_size", type=int, default=2)
+    p.add_argument("--max_arity", type=int, default=6)
+    p.add_argument("--nr", type=int, default=10, help="negatives per position")
+    p.add_argument("--non_linearity", default="sigmoid",
+                   choices=["sigmoid", "tanh", "relu", "none"])
+    p.add_argument("--ent_non_linearity", default="sigmoid",
+                   choices=["sigmoid", "tanh", "relu", "none"])
+    p.add_argument("--test_by_arity", action="store_true",
+                   help="report Measure per tuple arity (RealE)")
     args = p.parse_args(argv)
 
     from .data.io import load_kg_data
@@ -37,9 +47,17 @@ def main(argv=None):
     cfg = KGEConfig(
         model=args.model, dim=args.dim, lrate=args.lrate, batch_size=args.batch_size,
         max_epoch=args.max_epoch, reg=args.reg, margin=args.margin, seed=args.seed,
+        window_size=args.window_size, max_arity=args.max_arity, neg_ratio=args.nr,
+        non_linearity=args.non_linearity, ent_non_linearity=args.ent_non_linearity,
     )
     trainer = KGEmbeddingTrainer(kg, n_entities, n_relations, cfg)
     m = trainer.train_and_eval(quiet=False)
+    if args.test_by_arity and args.model == "RealE":
+        for ar, ma in sorted(trainer.evaluate(by_arity=True).items()):
+            print(
+                f"arity {ar}: hit@1 {ma.hit1['fil']:.4f} hit@3 {ma.hit3['fil']:.4f} "
+                f"hit@10 {ma.hit10['fil']:.4f} MR {ma.mr['fil']:.1f} MRR {ma.mrr['fil']:.4f}"
+            )
     return m
 
 

@@ -33,9 +33,24 @@ class KGEConfig:
     max_epoch: int = 100
     reg: float = 1e-5
     margin: float = 1.0
-    neg_ratio: int = 1
+    neg_ratio: int = 10  # negatives per position (reference RealE.conf: nr=10)
     seed: int = 0
     eval_every: int = 10
+    # ReAlE knobs (conf/kg_embedding/RealE.conf: window_size=2,
+    # DEFAULT_MAX_ARITY=6, non_linearity/ent_non_linearity=sigmoid)
+    window_size: int = 2
+    max_arity: int = 6
+    non_linearity: str = "sigmoid"
+    ent_non_linearity: str = "sigmoid"
+
+
+def _nl(name: str):
+    return {
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "relu": jax.nn.relu,
+        "none": lambda x: x,
+    }[name]
 
 
 @dataclass
@@ -67,57 +82,130 @@ class Measure:
 
 
 def _score(model: str, h_e, r_e, t_e, r_scale=None):
-    """Higher = more plausible."""
+    """Higher = more plausible (binary-triple models)."""
     if model == "TransE":
         return -jnp.sum(jnp.abs(h_e + r_e - t_e), axis=-1)
-    if model == "DistMult":
-        return jnp.sum(h_e * r_e * t_e, axis=-1)
-    # RealE-style: bilinear with relation diagonal re-scaling of both
-    # arguments (real-valued analogue of the hyper-relational scoring)
-    return jnp.sum((h_e * r_scale) * r_e * (t_e * r_scale), axis=-1)
+    return jnp.sum(h_e * r_e * t_e, axis=-1)  # DistMult
+
+
+def _reale_entity_terms(params, cfg, ents, valid):
+    """Per-position transformed entity factors for the ReAlE scorer.
+
+    ReAlE-style hyper-relational scoring (the reference's RealE conf:
+    window_size / DEFAULT_MAX_ARITY=6 / sigmoid non-linearities;
+    its entry point is broken at HEAD, survey 3.5, and the paper is not
+    fetchable offline — this is a faithful-in-spirit windowed scorer):
+    position j's embedding is circularly shifted by j*d/max_arity
+    (SimplE/HSimplE-style role binding), passed through
+    `ent_non_linearity`, and padded positions contribute the
+    multiplicative identity.
+
+    ents: [B, A] entity ids (pad 0), valid: [B, A] bool -> [B, A, d].
+    """
+    d = cfg.dim
+    g = _nl(cfg.ent_non_linearity)
+    e = params["ent"][ents]  # [B, A, d]
+    shifted = jnp.stack(
+        [jnp.roll(e[:, j], (j * d) // cfg.max_arity, axis=-1) for j in range(ents.shape[1])],
+        axis=1,
+    )
+    ge = g(shifted)
+    return jnp.where(valid[..., None], ge, 1.0)
+
+
+def _reale_score_from_terms(params, cfg, rel_ids, terms):
+    """score = sum over windows of f(window-sum of r ⊙ Π_j g(e_j))."""
+    f = _nl(cfg.non_linearity)
+    prod = jnp.prod(terms, axis=1)  # [B, d]
+    q = params["rel"][rel_ids] * prod
+    nb = cfg.dim // cfg.window_size
+    return jnp.sum(f(q.reshape(q.shape[0], nb, cfg.window_size).sum(-1)), axis=-1)
+
+
+def _reale_score(params, cfg, rel_ids, ents, valid):
+    return _reale_score_from_terms(
+        params, cfg, rel_ids, _reale_entity_terms(params, cfg, ents, valid)
+    )
 
 
 class KGEmbeddingTrainer:
-    """Replaces the missing `KnowledgeGraphEmbedding.train_and_eval`."""
+    """Replaces the missing `KnowledgeGraphEmbedding.train_and_eval`.
 
-    def __init__(self, triples: np.ndarray, n_entities: int, n_relations: int, cfg: KGEConfig):
+    Accepts binary triples [n, 3] = (h, r, t), or — for the RealE
+    hyper-relational model — arity-k tuples [n, 1 + max_arity] with the
+    relation in column 0 and entities (pad -1) after (the reference's
+    conf is arity-aware: DEFAULT_MAX_ARITY=6, -no_test_by_arity flag).
+    """
+
+    def __init__(
+        self,
+        triples: np.ndarray,
+        n_entities: int,
+        n_relations: int,
+        cfg: KGEConfig,
+        tuples: np.ndarray | None = None,
+    ):
         self.cfg = cfg
         self.n_entities = n_entities
         self.n_relations = n_relations
-        tr = np.asarray(triples, np.int64)
-        n = tr.shape[0]
+        if tuples is not None:
+            tup = np.asarray(tuples, np.int64)
+            assert tup.shape[1] == cfg.max_arity + 1, "tuples must be [n, 1+max_arity]"
+        else:
+            tr3 = np.asarray(triples, np.int64)
+            tup = np.full((tr3.shape[0], cfg.max_arity + 1), -1, np.int64)
+            tup[:, 0] = tr3[:, 1]  # relation
+            tup[:, 1] = tr3[:, 0]  # head
+            tup[:, 2] = tr3[:, 2]  # tail
+        n = tup.shape[0]
         rng = np.random.default_rng(cfg.seed)
         perm = rng.permutation(n)
         n_test = max(int(n * 0.1), 1)
-        self.test = tr[perm[:n_test]]
-        self.train = tr[perm[n_test:]]
+        self.test_tup = tup[perm[:n_test]]
+        self.train_tup = tup[perm[n_test:]]
+        # binary-triple views for the TransE/DistMult paths
+        self.test = np.stack([self.test_tup[:, 1], self.test_tup[:, 0], self.test_tup[:, 2]], 1)
+        self.train = np.stack(
+            [self.train_tup[:, 1], self.train_tup[:, 0], self.train_tup[:, 2]], 1
+        )
 
-        # filtered-setting lookup: true tails per (h, r) and heads per (r, t)
+        # filtered-setting lookup: known completions per (position, rest)
         ht = {}
         th = {}
-        for h, r, t in tr:
+        for h, r, t in np.stack([tup[:, 1], tup[:, 0], tup[:, 2]], 1):
             ht.setdefault((int(h), int(r)), []).append(int(t))
             th.setdefault((int(r), int(t)), []).append(int(h))
         self._ht = ht
         self._th = th
+        # arity-general filtered lookup: (rel, position, other entities) -> completions
+        comp = {}
+        for row in tup:
+            r = int(row[0])
+            ents = row[1:]
+            for j, e in enumerate(ents):
+                if e < 0:
+                    continue
+                rest = tuple(int(x) for k2, x in enumerate(ents) if k2 != j)
+                comp.setdefault((r, j, rest), []).append(int(e))
+        self._completions = comp
 
         key = jax.random.PRNGKey(cfg.seed)
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, _ = jax.random.split(key, 3)
         init = jax.nn.initializers.xavier_uniform()
         self.params = {
             "ent": init(k1, (n_entities, cfg.dim)),
             "rel": init(k2, (n_relations, cfg.dim)),
         }
-        if cfg.model == "RealE":
-            self.params["rel_scale"] = jnp.ones((n_relations, cfg.dim)) + 0.01 * jax.random.normal(
-                k3, (n_relations, cfg.dim)
-            )
         self.opt = optax.adam(cfg.lrate)
         self.opt_state = self.opt.init(self.params)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
 
         self._train_dev = jnp.asarray(self.train.astype(np.int32))
-        self._epoch_fn = jax.jit(self._build_epoch_fn())
+        self._train_tup_dev = jnp.asarray(self.train_tup.astype(np.int32))
+        if cfg.model == "RealE":
+            self._epoch_fn = jax.jit(self._build_reale_epoch_fn())
+        else:
+            self._epoch_fn = jax.jit(self._build_epoch_fn())
 
     def _build_epoch_fn(self):
         cfg = self.cfg
@@ -129,29 +217,19 @@ class KGEmbeddingTrainer:
 
         def loss_fn(params, h, r, t, nh, nt):
             ent, rel = params["ent"], params["rel"]
-            rs = params.get("rel_scale")
             r_e = rel[r]
-            r_s = rs[r] if rs is not None else None
             if cfg.model == "TransE":
-                pos = _score(cfg.model, ent[h], r_e, ent[t], r_s)
-                neg_t = _score(cfg.model, ent[h], r_e, ent[nt], r_s)
-                neg_h = _score(cfg.model, ent[nh], r_e, ent[t], r_s)
+                pos = _score(cfg.model, ent[h], r_e, ent[t])
+                neg_t = _score(cfg.model, ent[h], r_e, ent[nt])
+                neg_h = _score(cfg.model, ent[nh], r_e, ent[t])
                 loss = jnp.mean(jax.nn.softplus(cfg.margin - pos + neg_t)) + jnp.mean(
                     jax.nn.softplus(cfg.margin - pos + neg_h)
                 )
             else:
-                # bilinear models: full-entity cross-entropy on both ends
-                # (margin objectives let DistMult cheat by norm scaling).
-                # RealE: score = <h*s_r, r, t*s_r> -> query folds both
-                # relation scalings: q = h * s_r^2 * r.
-                if r_s is not None:
-                    q_t = ent[h] * r_s * r_e * r_s
-                    q_h = ent[t] * r_s * r_e * r_s
-                else:
-                    q_t = ent[h] * r_e
-                    q_h = ent[t] * r_e
-                logits_t = q_t @ ent.T
-                logits_h = q_h @ ent.T
+                # DistMult: full-entity cross-entropy on both ends
+                # (margin objectives let DistMult cheat by norm scaling)
+                logits_t = (ent[h] * r_e) @ ent.T
+                logits_h = (ent[t] * r_e) @ ent.T
                 loss = jnp.mean(
                     optax.softmax_cross_entropy_with_integer_labels(logits_t, t)
                 ) + jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits_h, h))
@@ -183,47 +261,130 @@ class KGEmbeddingTrainer:
 
         return epoch_fn
 
+    def _build_reale_epoch_fn(self):
+        """Tuple-batch epoch for the ReAlE hyper-relational scorer:
+        every VALID position of every tuple is ranked against
+        `neg_ratio` uniform negatives with a grouped cross-entropy
+        (the RealE conf trains with nr negatives per example)."""
+        cfg = self.cfg
+        opt = self.opt
+        n = self.train_tup.shape[0]
+        n_batches = -(-n // cfg.batch_size)
+        total = n_batches * cfg.batch_size
+        n_ent = self.n_entities
+        A = cfg.max_arity
+
+        # full-entity cross-entropy when the catalogue is small (the
+        # [B, E, windows] logits tensor stays cheap and the training
+        # signal is much stronger than nr sampled negatives); sampled
+        # grouped CE beyond that (the conf's nr=10 regime)
+        full_ce = n_ent <= 2048
+        nb = cfg.dim // cfg.window_size
+        f = _nl(cfg.non_linearity)
+        g = _nl(cfg.ent_non_linearity)
+        # only positions that ever hold an entity get a loss term (binary
+        # triples -> 2 of max_arity; saves 3x compiled compute)
+        active = [j for j in range(A) if (self.train_tup[:, 1 + j] >= 0).any()]
+
+        def loss_fn(params, rel, ents, valid, negs):
+            # negs: [B, A, nr]
+            terms = _reale_entity_terms(params, cfg, ents, valid)  # [B, A, d]
+            ent_tab = params["ent"]
+            loss = 0.0
+            n_terms = 0.0
+            for j in active:
+                # leave-one-out product of the other positions' factors
+                # (exact even when ent_non_linearity can emit zeros)
+                others = jnp.prod(terms.at[:, j].set(1.0), axis=1)
+                q = params["rel"][rel] * others  # [B, d]
+                shift = (j * cfg.dim) // cfg.max_arity
+                if full_ce:
+                    G = g(jnp.roll(ent_tab, shift, axis=-1))  # [E, d]
+                    qw = q.reshape(q.shape[0], nb, cfg.window_size)
+                    Gw = G.reshape(G.shape[0], nb, cfg.window_size)
+                    logits = jnp.sum(f(jnp.einsum("bnw,enw->ben", qw, Gw)), axis=-1)
+                    labels = ents[:, j]
+                else:
+                    # candidate factors at position j: true entity + negatives
+                    cand = jnp.concatenate([ents[:, j : j + 1], negs[:, j]], axis=1)
+                    gc = g(jnp.roll(ent_tab[cand], shift, axis=-1))  # [B, 1+nr, d]
+                    win = (q[:, None, :] * gc).reshape(
+                        q.shape[0], gc.shape[1], nb, cfg.window_size
+                    )
+                    logits = jnp.sum(f(win.sum(-1)), axis=-1)  # [B, 1+nr]
+                    labels = jnp.zeros(q.shape[0], jnp.int32)
+                ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+                vj = valid[:, j].astype(jnp.float32)
+                loss = loss + jnp.sum(ce * vj)
+                n_terms = n_terms + jnp.sum(vj)
+            reg = cfg.reg * (jnp.mean(params["ent"] ** 2) + jnp.mean(params["rel"] ** 2))
+            return loss / jnp.maximum(n_terms, 1.0) + reg
+
+        def epoch_fn(params, opt_state, rng, tup):
+            k_perm, k_neg = jax.random.split(rng)
+            perm = jax.random.permutation(k_perm, n)
+            idx = jnp.concatenate([perm, perm[: total - n]])
+            rel = tup[idx, 0].reshape(n_batches, -1)
+            ents_r = tup[idx, 1:].reshape(n_batches, -1, A)
+            valid = ents_r >= 0
+            ents_c = jnp.where(valid, ents_r, 0)
+            negs = jax.random.randint(
+                k_neg, (n_batches, ents_r.shape[1], A, cfg.neg_ratio), 0, n_ent
+            )
+
+            def step(carry, xs):
+                params, opt_state = carry
+                br, be, bv, bn = xs
+                loss, grads = jax.value_and_grad(loss_fn)(params, br, be, bv, bn)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (rel, ents_c, valid, negs)
+            )
+            return params, opt_state, jnp.mean(losses)
+
+        return epoch_fn
+
     def run_epoch(self) -> float:
         self.rng, k = jax.random.split(self.rng)
+        data = self._train_tup_dev if self.cfg.model == "RealE" else self._train_dev
         self.params, self.opt_state, loss = self._epoch_fn(
-            self.params, self.opt_state, k, self._train_dev
+            self.params, self.opt_state, k, data
         )
         return float(loss)
 
-    def evaluate(self, max_triples: int = 2000) -> Measure:
+    def evaluate(self, max_triples: int = 2000, by_arity: bool = False):
         """Entity-ranking evaluation, raw + filtered (Measure parity).
 
-        For each test triple, ranks the true tail against all entities
-        (and the true head likewise); filtered setting masks other known
-        true completions before ranking.
-        """
+        For each test tuple, ranks the true entity at every valid
+        position against all entities; the filtered setting masks other
+        known true completions before ranking. `by_arity=True` (RealE)
+        returns {arity: Measure} — the reference CLI's test-by-arity
+        mode (main_kg_embedding.py:11)."""
+        if self.cfg.model == "RealE":
+            return self._evaluate_reale(max_triples, by_arity)
         cfg = self.cfg
         test = self.test[:max_triples]
         ent = self.params["ent"]
         rel = self.params["rel"]
-        rs = self.params.get("rel_scale")
 
         @jax.jit
         def tail_scores(h, r):
             r_e = rel[r]
-            r_s = rs[r] if rs is not None else None
             h_e = ent[h]
             if cfg.model == "TransE":
                 return -jnp.sum(jnp.abs((h_e + r_e)[:, None, :] - ent[None]), axis=-1)
-            if cfg.model == "DistMult":
-                return (h_e * r_e) @ ent.T
-            return (h_e * r_s * r_e * r_s) @ ent.T
+            return (h_e * r_e) @ ent.T
 
         @jax.jit
         def head_scores(t, r):
             r_e = rel[r]
-            r_s = rs[r] if rs is not None else None
             t_e = ent[t]
             if cfg.model == "TransE":
                 return -jnp.sum(jnp.abs((t_e - r_e)[:, None, :] - ent[None]), axis=-1)
-            if cfg.model == "DistMult":
-                return (t_e * r_e) @ ent.T
-            return (t_e * r_s * r_e * r_s) @ ent.T
+            return (t_e * r_e) @ ent.T
 
         measure = Measure()
         bs = 128
@@ -253,6 +414,76 @@ class KGEmbeddingTrainer:
                 measure.update_batch(np.asarray([fil_t, fil_h]), "fil")
         measure.normalize(2 * len(test))
         return measure
+
+    def _evaluate_reale(self, max_tuples: int, by_arity: bool):
+        """Arity-general entity ranking for the ReAlE scorer."""
+        cfg = self.cfg
+        test = self.test_tup[:max_tuples]
+        A = cfg.max_arity
+        params = self.params
+        nb = cfg.dim // cfg.window_size
+        f = _nl(cfg.non_linearity)
+        g = _nl(cfg.ent_non_linearity)
+
+        @jax.jit
+        def all_scores(rel, ents, valid, j_onehot, shift_tab):
+            """Scores of every entity substituted at position j (encoded
+            as a one-hot over A so one compiled fn serves all j)."""
+            terms = _reale_entity_terms(params, cfg, ents, valid)
+            # leave-one-out product at the one-hot position
+            loo = jnp.where(j_onehot[None, :, None] > 0, 1.0, terms)
+            q = params["rel"][rel] * jnp.prod(loo, axis=1)  # [b, d]
+            shift = jnp.sum(j_onehot * shift_tab)
+            G = g(jnp.roll(params["ent"], shift, axis=-1))  # [E, d]
+            qw = q.reshape(q.shape[0], nb, cfg.window_size)
+            Gw = G.reshape(G.shape[0], nb, cfg.window_size)
+            wsum = jnp.einsum("bnw,enw->ben", qw, Gw)
+            return jnp.sum(f(wsum), axis=-1)  # [b, E]
+
+        shift_tab = jnp.asarray([(j * cfg.dim) // A for j in range(A)], jnp.int32)
+        measures: dict[int, Measure] = {}
+        counts: dict[int, int] = {}
+        overall = Measure()
+        n_events = 0
+        bs = 32
+        for s in range(0, len(test), bs):
+            blk = test[s : s + bs]
+            rel = jnp.asarray(blk[:, 0].astype(np.int32))
+            ents_r = blk[:, 1:]
+            valid_np = ents_r >= 0
+            ents = jnp.asarray(np.where(valid_np, ents_r, 0).astype(np.int32))
+            valid = jnp.asarray(valid_np)
+            arities = valid_np.sum(1)
+            for j in range(A):
+                if not valid_np[:, j].any():
+                    continue
+                oh = jnp.zeros(A, jnp.int32).at[j].set(1)
+                sc = np.asarray(all_scores(rel, ents, valid, oh, shift_tab))
+                for k2 in np.nonzero(valid_np[:, j])[0]:
+                    true_e = int(ents_r[k2, j])
+                    row = sc[k2]
+                    raw = 1 + int((row > row[true_e]).sum())
+                    rest = tuple(
+                        int(x) for q2, x in enumerate(ents_r[k2]) if q2 != j
+                    )
+                    known = self._completions.get((int(blk[k2, 0]), j, rest), [])
+                    rowf = row.copy()
+                    rowf[known] = -np.inf
+                    fil = 1 + int((rowf > row[true_e]).sum())
+                    ar = int(arities[k2])
+                    m = measures.setdefault(ar, Measure())
+                    m.update_batch(np.asarray([raw]), "raw")
+                    m.update_batch(np.asarray([fil]), "fil")
+                    counts[ar] = counts.get(ar, 0) + 1
+                    overall.update_batch(np.asarray([raw]), "raw")
+                    overall.update_batch(np.asarray([fil]), "fil")
+                    n_events += 1
+        overall.normalize(max(n_events, 1))
+        if by_arity:
+            for ar, m in measures.items():
+                m.normalize(max(counts[ar], 1))
+            return measures
+        return overall
 
     def train_and_eval(self, log_fn=print, quiet: bool = True) -> Measure:
         cfg = self.cfg
