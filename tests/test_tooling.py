@@ -169,3 +169,37 @@ def test_results_aggregator(tmp_path):
     write_output_csv(rows, str(out))
     got = list(csv.DictReader(open(out)))
     assert len(got) == 2 and got[0]["model"] == "LightGCN"
+
+
+def test_hierarchical_synthetic_regime():
+    """hierarchy=(C, F) plants a two-level tree: a user's edges must
+    concentrate in ONE coarse family (the confound the regime is built
+    on), and the flat rng stream stays untouched when hierarchy=None."""
+    import numpy as np
+
+    from hypergraph_diffusion_for_recommendation_tpu.data import synthetic_dataset
+    from hypergraph_diffusion_for_recommendation_tpu.data.synthetic import _item_clusters
+
+    C, F = 4, 4
+    train, test, _ = synthetic_dataset(
+        n_users=80, n_items=400, mean_degree=12.0, seed=5,
+        hierarchy=(C, F), affinity=10.0, sibling_affinity=7.0,
+    )
+    fine = _item_clusters(400, C * F, 5)
+    coarse = fine // F
+    pairs = np.concatenate([train, test])
+    users = np.unique(pairs[:, 0])
+    fracs = []
+    for u in users:
+        cc = coarse[pairs[pairs[:, 0] == u, 1]]
+        fracs.append(np.bincount(cc, minlength=C).max() / len(cc))
+    # majority coarse-family share far above the 1/C = 0.25 baseline
+    assert np.mean(fracs) > 0.5, np.mean(fracs)
+
+    # flat regime bit-identical to the historical stream
+    a1, b1, _ = synthetic_dataset(n_users=40, n_items=120, mean_degree=8.0, seed=3)
+    a2, b2, _ = synthetic_dataset(
+        n_users=40, n_items=120, mean_degree=8.0, seed=3, hierarchy=None
+    )
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
