@@ -82,6 +82,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--save_checkpoints", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans: fail at the op that first "
+                        "produces a NaN (reference parity: KGAT NaN checks / "
+                        "HGNN_HD3 set_detect_anomaly)")
     return p.parse_args(argv)
 
 
@@ -227,6 +231,10 @@ def main(argv=None):
     else:
         cfg = build_config(args)
     s = time.time()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     result = run(cfg, quiet=args.quiet)
     print(f"Running time: {time.time() - s:.1f} s")
     return result

@@ -647,6 +647,17 @@ class Trainer:
             self.rng, ke = jax.random.split(self.rng)
             self.extras = self.bundle.epoch_update_extras(self.params, self.extras, ke)
         loss = float(loss)
+        # NaN guard — the TPU-native stand-in for the reference's
+        # per-batch checks (KGAT.py:96-97,115-116) and
+        # set_detect_anomaly (HGNN_HD3.py:356): the epoch scan cannot
+        # skip a bad batch retroactively, so a non-finite epoch loss
+        # fails fast with a pointer at the per-op localiser.
+        if not np.isfinite(loss):
+            raise FloatingPointError(
+                f"non-finite train loss ({loss}) at epoch {epoch + 1} for "
+                f"{self.cfg.model}; rerun with --debug_nans (sets "
+                "jax_debug_nans) to localise the producing op"
+            )
         aux = {k2: float(v) for k2, v in aux.items()}
         aux["train_loss"] = loss
         return loss, aux

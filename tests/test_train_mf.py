@@ -138,3 +138,24 @@ def test_async_eval_cadence(tiny_dataset):
     assert len(h) == 6
     assert h[0].metrics == h[1].metrics == h[2].metrics
     assert h[3].metrics == h[4].metrics == h[5].metrics
+
+
+def test_nan_guard_fails_fast(tiny_dataset, monkeypatch):
+    """A non-finite epoch loss must raise with actionable context (the
+    reference's KGAT NaN checks / HD3 detect_anomaly equivalent)."""
+    import pytest
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cfg = make_config("MF", batch_size=512, max_epoch=2, item_ranking=(10,))
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    trainer = Trainer(build_model(cfg, cf))
+    fn = trainer._epoch_fn
+
+    def poisoned(params, opt_state, extras, rng):
+        p, o, e, loss, aux = fn(params, opt_state, extras, rng)
+        return p, o, e, loss * float("nan"), aux
+
+    monkeypatch.setattr(trainer, "_epoch_fn", poisoned)
+    with pytest.raises(FloatingPointError, match="non-finite train loss"):
+        trainer.fit(quiet=True)
