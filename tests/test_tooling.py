@@ -203,3 +203,27 @@ def test_hierarchical_synthetic_regime():
     )
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_cost_analysis_reports_flops():
+    """XLA cost analysis replaces the reference's hand-rolled MLP FLOPs
+    estimator (model/layers/MLP.py:119-134) for ANY jittable fn."""
+    import jax.numpy as jnp
+
+    from hypergraph_diffusion_for_recommendation_tpu.utils.profiling import (
+        cost_analysis,
+        flops_estimate,
+    )
+
+    def f(a, b):
+        return (a @ b).sum()
+
+    import jax
+
+    a = jax.ShapeDtypeStruct((64, 128), jnp.float32)
+    b = jax.ShapeDtypeStruct((128, 32), jnp.float32)
+    fl = flops_estimate(f, a, b)
+    # matmul flops = 2*M*K*N (+ reduction); must be in the right ballpark
+    assert fl >= 2 * 64 * 128 * 32 * 0.9, fl
+    stats = cost_analysis(f, a, b)
+    assert "flops" in stats
