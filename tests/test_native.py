@@ -69,6 +69,13 @@ def test_sort_pairs_matches_lexsort():
     # radix and lexsort are both stable -> identical permutations
     np.testing.assert_array_equal(got, want)
 
+    # keys wider than one 16-bit radix digit (multi-pass path)
+    major = rng.integers(0, 1 << 22, n)
+    minor = rng.integers(0, 1 << 20, n)
+    np.testing.assert_array_equal(
+        native.sort_pairs(major, minor), np.lexsort((minor, major))
+    )
+
 
 def test_native_pack_blocked_matches_numpy():
     from hypergraph_diffusion_for_recommendation_tpu import native

@@ -247,3 +247,19 @@ def test_pack_blocked_dedup_matches_scipy(rng):
     ref_gv = (ones_ct[rows] * x[cols]).sum(1)
     np.testing.assert_allclose(np.asarray(gx), ref_gx, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(gv), ref_gv, rtol=3e-4, atol=3e-4)
+
+
+def test_int8_spmm_close_to_exact(rng):
+    """int8 quantised-operand mode: ~1% relative error vs exact."""
+    import dataclasses
+
+    mat = _random_csr(rng, 600, 800, 0.02)
+    coo = mat.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    blocked = pack_blocked(coo.row[order], coo.col[order], coo.data[order], mat.shape)
+    blocked8 = dataclasses.replace(blocked, int8=True)
+    x = rng.standard_normal((800, 64)).astype(np.float32)
+    want = mat @ x
+    got = np.asarray(blocked_spmm(blocked8, jnp.asarray(x), interpret=True))
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.02, np.abs(got - want).max() / denom
