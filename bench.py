@@ -48,7 +48,10 @@ def main() -> None:
         build_knowledge,
         synthetic_dataset,
     )
-    from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+    from hypergraph_diffusion_for_recommendation_tpu.models import (
+        build_model,
+        model_data_needs,
+    )
     from hypergraph_diffusion_for_recommendation_tpu.train import Trainer
 
     log(f"devices: {jax.devices()}")
@@ -59,7 +62,9 @@ def main() -> None:
     )
     inter = build_interaction(train, test)
     kg = build_knowledge(kg_df, inter)
-    cf_dev = build_cf_device_data(inter, eval_user_multiple=512)
+    cf_dev = build_cf_device_data(
+        inter, eval_user_multiple=512, needs=model_data_needs("KHGRec")
+    )
     kg_dev = build_kg_device_data(kg)
     log(
         f"data built in {time.time()-t0:.1f}s: {inter.n_users} users, "

@@ -169,7 +169,7 @@ def run(cfg, quiet: bool = False):
         build_kg_device_data,
         build_knowledge,
     )
-    from .models import build_model
+    from .models import build_model, model_data_needs
     from .parallel import make_mesh
     from .train import Trainer
     from .utils.logging import RunArtifacts, run_dir
@@ -183,7 +183,10 @@ def run(cfg, quiet: bool = False):
     t0 = time.time()
     train, test, kg_df = load_dataset(cfg)
     inter = build_interaction(train, test)
-    cf_dev = build_cf_device_data(inter, eval_user_multiple=cfg.eval_user_batch)
+    cf_dev = build_cf_device_data(
+        inter, eval_user_multiple=cfg.eval_user_batch,
+        needs=model_data_needs(cfg.model),
+    )
     kg_dev = None
     if cfg.use_knowledge and kg_df is not None:
         kg_dev = build_kg_device_data(build_knowledge(kg_df, inter))

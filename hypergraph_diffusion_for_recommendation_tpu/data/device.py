@@ -207,14 +207,20 @@ class EvalData:
 
 @struct.dataclass
 class CFDeviceData:
-    """Everything a CF model needs on device."""
+    """Everything a CF model needs on device.
 
-    adj: AdjPair  # normalised (U+I)^2 bipartite
-    int_norm: AdjPair  # row-normalised U x I
-    inv_int_norm: AdjPair  # row-normalised I x U
-    b_hyper: AdjPair  # D_v^-1/2 H D_e^-1/2 (U x I): Theta_uu = B B^T, Theta_ii = B^T B
-    raw_int: AdjPair  # unnormalised U x I incidence H
-    raw_adj: AdjPair  # unnormalised (U+I)^2 bipartite adjacency
+    The adjacency representations are built per-model-need
+    (`build_cf_device_data(needs=models.model_data_needs(name))`) —
+    unneeded ones are None, which at production scale is the difference
+    between fitting in HBM and OOM (each AdjPair carries fwd+bwd padded
+    COO plus two packed pallas layouts)."""
+
+    adj: AdjPair | None  # normalised (U+I)^2 bipartite
+    int_norm: AdjPair | None  # row-normalised U x I
+    inv_int_norm: AdjPair | None  # row-normalised I x U
+    b_hyper: AdjPair | None  # D_v^-1/2 H D_e^-1/2 (U x I): Theta_uu = B B^T, Theta_ii = B^T B
+    raw_int: AdjPair | None  # unnormalised U x I incidence H
+    raw_adj: AdjPair | None  # unnormalised (U+I)^2 bipartite adjacency
     # bip_src[k] = index into raw_int.fwd values of the interaction edge
     # behind raw_adj.fwd entry k — dropping a (u,i) pair zeroes BOTH
     # bipartite directions, matching SGL's augment-then-symmetrise flow
@@ -270,50 +276,71 @@ def build_cf_device_data(
     inter: InteractionData,
     pad_multiple: int = 8,
     eval_user_multiple: int = 256,
+    needs: frozenset | set | None = None,
 ) -> CFDeviceData:
+    """`needs` (from `models.model_data_needs(name)`) selects which
+    adjacency representations to build; None builds all of them. Edge
+    arrays, rated-item masks and eval data are always built."""
     import scipy.sparse as sp
 
-    adj = adj_pair_from_scipy(inter.norm_adj, pad_multiple)
-    int_norm = adj_pair_from_scipy(inter.norm_interaction_mat, pad_multiple)
-    inv_int_norm = adj_pair_from_scipy(inter.norm_inv_interaction_mat, pad_multiple)
-    raw_int = adj_pair_from_scipy(inter.interaction_mat, pad_multiple)
+    def want(field: str) -> bool:
+        return needs is None or field in needs
 
-    # B = D_v^-1/2 H D_e^-1/2 so that Theta_uu = B B^T is the hypergraph
-    # normalisation D_v^-1/2 H D_e^-1 H^T D_v^-1/2 (data/graph.py:27-42)
-    # applied without ever materialising the V x V product.
-    h_mat = inter.interaction_mat
-    dv = np.asarray(h_mat.sum(1)).flatten()
-    de = np.asarray(h_mat.sum(0)).flatten()
-    with np.errstate(divide="ignore"):
-        dv_is = np.power(dv, -0.5)
-        de_is = np.power(de, -0.5)
-    dv_is[np.isinf(dv_is)] = 0.0
-    de_is[np.isinf(de_is)] = 0.0
-    b = (sp.diags(dv_is) @ h_mat @ sp.diags(de_is)).tocsr()
-    b_hyper = adj_pair_from_scipy(b, pad_multiple)
+    adj = adj_pair_from_scipy(inter.norm_adj, pad_multiple) if want("adj") else None
+    int_norm = (
+        adj_pair_from_scipy(inter.norm_interaction_mat, pad_multiple)
+        if want("int_norm") else None
+    )
+    inv_int_norm = (
+        adj_pair_from_scipy(inter.norm_inv_interaction_mat, pad_multiple)
+        if want("inv_int_norm") else None
+    )
+    raw_int = (
+        adj_pair_from_scipy(inter.interaction_mat, pad_multiple)
+        if want("raw_int") or want("raw_adj") else None
+    )
+
+    b_hyper = None
+    if want("b_hyper"):
+        # B = D_v^-1/2 H D_e^-1/2 so that Theta_uu = B B^T is the hypergraph
+        # normalisation D_v^-1/2 H D_e^-1 H^T D_v^-1/2 (data/graph.py:27-42)
+        # applied without ever materialising the V x V product.
+        h_mat = inter.interaction_mat
+        dv = np.asarray(h_mat.sum(1)).flatten()
+        de = np.asarray(h_mat.sum(0)).flatten()
+        with np.errstate(divide="ignore"):
+            dv_is = np.power(dv, -0.5)
+            de_is = np.power(de, -0.5)
+        dv_is[np.isinf(dv_is)] = 0.0
+        de_is[np.isinf(de_is)] = 0.0
+        b = (sp.diags(dv_is) @ h_mat @ sp.diags(de_is)).tocsr()
+        b_hyper = adj_pair_from_scipy(b, pad_multiple)
 
     # raw bipartite adjacency with per-entry provenance to interaction edges
     n_users, n_items = inter.n_users, inter.n_items
-    icoo = inter.interaction_mat.tocoo()
-    iorder = native.sort_pairs(icoo.row, icoo.col)  # raw_int.fwd order
-    iu, ii = icoo.row[iorder], icoo.col[iorder]
-    n_int = iu.shape[0]
-    src = np.arange(n_int)
-    bip_rows = np.concatenate([iu, ii + n_users])
-    bip_cols = np.concatenate([ii + n_users, iu])
-    bip_src0 = np.concatenate([src, src])
-    border = native.sort_pairs(bip_rows, bip_cols)
-    raw_adj = make_adj_pair(
-        bip_rows[border], bip_cols[border], np.ones(2 * n_int, np.float32),
-        (n_users + n_items, n_users + n_items), pad_multiple,
-    )
-    bip_src_sorted = bip_src0[border]
-    pad_n = raw_adj.fwd.nnz_pad - 2 * n_int
-    # pad entries are inert (their bipartite rows are out of range and
-    # dropped by every segment op), so any in-range source index is fine
-    bip_src_full = np.concatenate(
-        [bip_src_sorted, np.zeros(pad_n, np.int64)]
-    ).astype(np.int32)
+    raw_adj = None
+    bip_src_full = np.zeros(0, np.int32)
+    if want("raw_adj"):
+        icoo = inter.interaction_mat.tocoo()
+        iorder = native.sort_pairs(icoo.row, icoo.col)  # raw_int.fwd order
+        iu, ii = icoo.row[iorder], icoo.col[iorder]
+        n_int = iu.shape[0]
+        src = np.arange(n_int)
+        bip_rows = np.concatenate([iu, ii + n_users])
+        bip_cols = np.concatenate([ii + n_users, iu])
+        bip_src0 = np.concatenate([src, src])
+        border = native.sort_pairs(bip_rows, bip_cols)
+        raw_adj = make_adj_pair(
+            bip_rows[border], bip_cols[border], np.ones(2 * n_int, np.float32),
+            (n_users + n_items, n_users + n_items), pad_multiple,
+        )
+        bip_src_sorted = bip_src0[border]
+        pad_n = raw_adj.fwd.nnz_pad - 2 * n_int
+        # pad entries are inert (their bipartite rows are out of range and
+        # dropped by every segment op), so any in-range source index is fine
+        bip_src_full = np.concatenate(
+            [bip_src_sorted, np.zeros(pad_n, np.int64)]
+        ).astype(np.int32)
 
     rated_lists = inter.rated_lists()
     rated = padded_rows_from_lists(rated_lists, fill=-1, pad_multiple=pad_multiple)

@@ -1,4 +1,10 @@
-from .base import MODEL_REGISTRY, ModelBundle, build_model, register_model
+from .base import (
+    MODEL_REGISTRY,
+    ModelBundle,
+    build_model,
+    model_data_needs,
+    register_model,
+)
 
 # import model modules for registration side-effects
 from . import mf  # noqa: F401
@@ -20,4 +26,7 @@ from . import social_models  # noqa: F401  (MHCN/SEPT)
 from . import kgin_kgcl  # noqa: F401
 from . import ktup_ripplenet  # noqa: F401  (KTUP/HKGRippleNet)
 
-__all__ = ["MODEL_REGISTRY", "ModelBundle", "build_model", "register_model"]
+__all__ = [
+    "MODEL_REGISTRY", "ModelBundle", "build_model", "model_data_needs",
+    "register_model",
+]

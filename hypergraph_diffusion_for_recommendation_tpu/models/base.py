@@ -89,6 +89,45 @@ def build_mesh():
     return _BUILD_MESH
 
 
+# Which CFDeviceData adjacency representations each model module's
+# builders consume (grep-audited; tests assert it stays in sync). The
+# reference builds every representation for every model
+# (data/ui_graph.py:13-41 constructs all five unconditionally); at
+# production scale the unused ones are the difference between fitting
+# in HBM and OOM (a 10M-edge LightGCN run needs 1 of the 6 pairs).
+_MODULE_DATA_NEEDS = {
+    "mf": frozenset(),
+    "sasrec": frozenset(),
+    "kgat": frozenset(),
+    "ktup_ripplenet": frozenset(),
+    "lightgcn": frozenset({"adj"}),
+    "hccf": frozenset({"adj"}),
+    "hccf_diffusion": frozenset({"adj"}),
+    "hgcn": frozenset({"adj"}),
+    "sht": frozenset({"adj"}),
+    "ssl_family": frozenset({"adj"}),
+    "khgrec": frozenset({"adj"}),
+    "dhcf": frozenset({"raw_int"}),
+    "dhcf_diffusion": frozenset({"raw_int"}),
+    "hd_family": frozenset({"adj", "b_hyper"}),
+    "kgin_kgcl": frozenset({"adj", "int_norm"}),
+    "autocf": frozenset({"adj", "raw_adj"}),
+    "sgl": frozenset({"adj", "raw_adj", "raw_int"}),
+    "social_models": frozenset({"adj", "inv_int_norm"}),
+}
+
+
+def model_data_needs(name: str):
+    """Adjacency representations `name`'s builder consumes, or None
+    (= build everything) for unregistered/unknown names."""
+    if name not in MODEL_REGISTRY:
+        return None
+    import inspect
+
+    mod = inspect.getmodule(MODEL_REGISTRY[name]).__name__.rsplit(".", 1)[-1]
+    return _MODULE_DATA_NEEDS.get(mod)
+
+
 def build_model(
     cfg: Config,
     cf: CFDeviceData,

@@ -53,7 +53,11 @@ def main():
           f"({time.time()-t0:.1f}s)", flush=True)
     inter = build_interaction(train, test)
     t0 = time.time()
-    cf_dev = build_cf_device_data(inter, eval_user_multiple=512)
+    from hypergraph_diffusion_for_recommendation_tpu.models import model_data_needs
+
+    cf_dev = build_cf_device_data(
+        inter, eval_user_multiple=512, needs=model_data_needs(args.model)
+    )
     kg_dev = None
     if args.with_kg:
         kg = build_knowledge(kg_df, inter)
