@@ -79,6 +79,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--output_dir", type=str, default="./results")
+    p.add_argument("--export_embeddings", action="store_true",
+                   help="write <run_dir>/embeddings.npz for standalone "
+                        "serving (serving_cli / eval.serving.Retriever)")
     p.add_argument("--save_checkpoints", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--quiet", action="store_true")
@@ -105,6 +108,8 @@ def extract_overrides(args: argparse.Namespace) -> dict:
             overrides[key] = v
     if args.async_eval:
         overrides["async_eval"] = True
+    if args.export_embeddings:
+        overrides["export_embeddings"] = True
     overrides["item_ranking"] = tuple(int(x) for x in args.item_ranking.split(","))
     if args.conv_dim_list:
         overrides["conv_dim_list"] = tuple(json.loads(args.conv_dim_list))
@@ -217,6 +222,19 @@ def run(cfg, quiet: bool = False):
     result = trainer.fit(
         quiet=quiet, artifacts=artifacts, ckpt=ckpt, start_epoch=start_epoch
     )
+    if cfg.export_embeddings:
+        # fit() has reset trainer params to the best epoch's snapshot
+        from .eval.serving import export_embeddings
+
+        u_emb, i_emb = bundle.encode_eval(trainer.params, trainer.extras)
+        path = export_embeddings(
+            os.path.join(run_dir(cfg), "embeddings.npz"),
+            u_emb, i_emb, inter.id2user, inter.id2item,
+            rated_pad=cf_dev.rated_pad,
+            meta={"model": cfg.model, "dataset": cfg.dataset,
+                  "best_epoch": result.best_epoch},
+        )
+        print(f"embeddings exported: {path}")
     print(f"best epoch {result.best_epoch}: {result.best_metrics}")
     print(f"final metrics: {result.final_metrics}")
     print(f"throughput: {result.examples_per_sec:,.0f} examples/sec")

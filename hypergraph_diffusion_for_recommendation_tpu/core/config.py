@@ -96,6 +96,9 @@ class Config:
     log_dir: str = "./log"
     save_checkpoints: bool = False
     resume: bool = False
+    # write <run_dir>/embeddings.npz (best-epoch tables + id maps +
+    # rated mask) for standalone retrieval via eval/serving.Retriever
+    export_embeddings: bool = False
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

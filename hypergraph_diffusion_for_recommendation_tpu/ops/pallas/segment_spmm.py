@@ -92,6 +92,29 @@ class BlockedCOO:
     ub: int = struct.field(pytree_node=False, default=0)  # unique-col budget
 
 
+def _pad_blocks8(cols, vals, lrows, src, wmap, rb, lcols=None, ucols=None, ub=0):
+    """Pad the block axis to a multiple of 8 with inert all-pad blocks
+    (lrows = rb matches no row; wmap repeats the last window so the
+    kernel accumulates zeros into an already-written tile). Keeps the
+    [n_blocks, eb] operands' HBM layout sublane-aligned so the kernel
+    can fetch them in 8-row blocks (see _pick_row)."""
+    nb = cols.shape[0]
+    pad = (-nb) % 8
+    if pad == 0:
+        out = (cols, vals, lrows, src, wmap)
+        return out if lcols is None else out + (lcols, ucols)
+    bp = ((0, pad), (0, 0))
+    cols = np.pad(cols, bp)
+    vals = np.pad(vals, bp)
+    lrows = np.pad(lrows, bp, constant_values=rb)
+    src = np.pad(src, bp)
+    wmap = np.pad(wmap, (0, pad), mode="edge")
+    out = (cols, vals, lrows, src, wmap)
+    if lcols is None:
+        return out
+    return out + (np.pad(lcols, bp, constant_values=ub), np.pad(ucols, bp))
+
+
 def pack_blocked(
     rows, cols, vals, shape, bf16: bool = False,
     edge_block: int | None = None, row_block: int | None = None,
@@ -124,6 +147,9 @@ def pack_blocked(
         packed = native.pack_blocked_arrays(rows_l, cols_l, vals_l, shape[0], eb, rb)
         if packed is not None:
             cols_n, vals_n, lrows_n, src_n, wmap_n = packed
+            cols_n, vals_n, lrows_n, src_n, wmap_n = _pad_blocks8(
+                cols_n, vals_n, lrows_n, src_n, wmap_n, rb
+            )
             canon_n = src_n if canon_map is None else np.asarray(canon_map)[src_n].astype(np.int32)
             return BlockedCOO(
                 cols=jnp.asarray(cols_n),
@@ -171,18 +197,22 @@ def pack_blocked(
     lrows_b[flat] = rows_l - edge_w * rb
     src_b[flat] = live_idx
 
-    src_np = src_b.reshape(n_blocks, eb)
-    canon_np = src_np if canon_map is None else np.asarray(canon_map)[src_np]
+    cols_p, vals_p, lrows_p, src_p, wmap_p = _pad_blocks8(
+        cols_b.reshape(n_blocks, eb), vals_b.reshape(n_blocks, eb),
+        lrows_b.reshape(n_blocks, eb), src_b.reshape(n_blocks, eb),
+        wmap_np, rb,
+    )
+    canon_np = src_p if canon_map is None else np.asarray(canon_map)[src_p]
     return BlockedCOO(
-        cols=jnp.asarray(cols_b.reshape(n_blocks, eb).astype(np.int32)),
-        vals=jnp.asarray(vals_b.reshape(n_blocks, eb)),
-        local_rows=jnp.asarray(lrows_b.reshape(n_blocks, eb).astype(np.int32)),
-        wmap=jnp.asarray(wmap_np.astype(np.int32)),
-        src=jnp.asarray(src_np.astype(np.int32)),
+        cols=jnp.asarray(cols_p.astype(np.int32)),
+        vals=jnp.asarray(vals_p),
+        local_rows=jnp.asarray(lrows_p.astype(np.int32)),
+        wmap=jnp.asarray(wmap_p.astype(np.int32)),
+        src=jnp.asarray(src_p.astype(np.int32)),
         canon=jnp.asarray(canon_np.astype(np.int32)),
         nrows=int(shape[0]),
         ncols=int(shape[1]),
-        n_blocks=n_blocks,
+        n_blocks=int(cols_p.shape[0]),
         n_windows=n_windows,
         bf16=bf16,
         eb=eb,
@@ -280,6 +310,10 @@ def pack_blocked_dedup(
         lcols_b[b, :n] = lc
         ucols_b[b, lc] = cols_s[i:j]
 
+    cols_b, vals_b, lrows_b, src_b, wmap_np, lcols_b, ucols_b = _pad_blocks8(
+        cols_b, vals_b, lrows_b, src_b, wmap_np, rb,
+        lcols=lcols_b, ucols=ucols_b, ub=ub,
+    )
     canon_np = src_b if canon_map is None else np.asarray(canon_map)[src_b]
     return BlockedCOO(
         cols=jnp.asarray(cols_b.astype(np.int32)),
@@ -290,7 +324,7 @@ def pack_blocked_dedup(
         canon=jnp.asarray(canon_np.astype(np.int32)),
         nrows=int(shape[0]),
         ncols=int(shape[1]),
-        n_blocks=n_blocks,
+        n_blocks=int(cols_b.shape[0]),
         n_windows=n_windows,
         bf16=bf16,
         eb=eb,
@@ -301,12 +335,33 @@ def pack_blocked_dedup(
     )
 
 
+def _pick_row(ref, b):
+    """Select grid step b's [1, eb] lane vector out of its 8-row block.
+
+    lrows/vals/lcols are [nb, eb] in HBM (padding-free T(8,128) layout;
+    a trailing-singleton [nb, eb, 1] form would pad the minor dim
+    1 -> 128 — a 128x relayout blowup that OOMs at 10M+ nnz and
+    dominated the kernel DMA at bench scale). Mosaic only allows
+    sublane-divisible blocks, so the BlockSpec fetches 8 rows at
+    (b // 8, 0) — consecutive grid steps revisit the same block, so
+    Pallas skips the re-fetch and the amortised DMA is exactly the
+    useful bytes — and the kernel reduces out its own row (one VPU
+    compare+select+sum; non-selected rows contribute 0)."""
+    data = ref[...]  # [8, eb]
+    sub = jax.lax.broadcasted_iota(jnp.int32, data.shape, 0)
+    picked = jnp.where(sub == (b % 8), data, jnp.zeros_like(data))
+    return jnp.sum(picked, axis=0, keepdims=True)  # [1, eb]
+
+
 def _segment_matmul_kernel(wmap_ref, lrows_ref, vals_ref, g_ref, out_ref, *, eb, rb):
     b = pl.program_id(0)
-    lrows = lrows_ref[0]  # [eb, 1] (trailing 1 satisfies TPU tiling)
-    vals = vals_ref[0]  # [eb, 1] edge values (pad slots carry 0)
+    lrows = _pick_row(lrows_ref, b)  # [1, eb] local row per edge (pad slots = rb)
+    vals = _pick_row(vals_ref, b)  # [1, eb] edge values (pad slots carry 0)
     g = g_ref[0]  # [eb, d] RAW gathered rows (values NOT pre-multiplied)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, rb), 1)
+    # the one-hot is built [rb, eb] (row ids on the sublane axis) and
+    # contracted over its lane axis, so the index operands stay lane
+    # vectors end to end
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rb, eb), 0)
     # scaled one-hot: folding the edge-value multiply into the MXU
     # operand removes the [nnz, d] elementwise pass (and its HBM
     # round-trip) that used to run between the gather and the kernel —
@@ -321,7 +376,7 @@ def _segment_matmul_kernel(wmap_ref, lrows_ref, vals_ref, g_ref, out_ref, *, eb,
         jax.lax.Precision.DEFAULT if g.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     )
     partial_out = jax.lax.dot_general(
-        onehot, g, (((0,), (0,)), ((), ())),
+        onehot, g, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -346,14 +401,14 @@ def _segment_matmul_int8_kernel(
     bf16 is a VPU pass in VMEM and the dequant scale rides the output
     tile (both off the DMA critical path)."""
     b = pl.program_id(0)
-    lrows = lrows_ref[0]  # [eb, 1]
-    vals = vals_ref[0]  # [eb, 1]
-    scale = scale_ref[0]  # [1, d] per-column dequant scale
+    lrows = _pick_row(lrows_ref, b)  # [1, eb]
+    vals = _pick_row(vals_ref, b)  # [1, eb]
+    scale = scale_ref[...]  # [1, d] per-column dequant scale
     g = g_ref[0].astype(jnp.bfloat16)  # [eb, d] int8 -> bf16 in VMEM
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, rb), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rb, eb), 0)
     onehot = (lrows == row_ids).astype(jnp.bfloat16) * vals.astype(jnp.bfloat16)
     partial_out = jax.lax.dot_general(
-        onehot, g, (((0,), (0,)), ((), ())),
+        onehot, g, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     ) * scale.astype(jnp.float32)
@@ -374,35 +429,32 @@ def _segment_matmul_int8_kernel(
 def _segment_matmul_dedup_kernel(
     wmap_ref, lrows_ref, vals_ref, lcols_ref, g_ref, out_ref, *, eb, rb, ub
 ):
-    """Dedup variant: g holds the block's DISTINCT column rows [ub, d];
-    a one-hot MXU contraction expands them to per-edge rows in VMEM
-    (each output row selects exactly one g row, so the expansion is
-    numerically exact), then the scaled row one-hot reduces to the
-    window tile as in the base kernel."""
+    """Dedup variant: g holds the block's DISTINCT column rows [ub, d].
+    The two one-hots contract into the block's weight matrix
+    W[r, u] = sum_e vals[e]·[row_e == r]·[col_e == u] first ([rb, ub],
+    edge axis contracted on the MXU), then W @ g lands the window tile —
+    mathematically identical to expand-then-reduce, with both index
+    operands as [1, eb] lane vectors (no trailing-singleton tiling
+    blowup, see the base kernel)."""
     b = pl.program_id(0)
-    lrows = lrows_ref[0]  # [eb, 1]
-    vals = vals_ref[0]  # [eb, 1]
-    lcols = lcols_ref[0]  # [eb, 1] in [0, ub); pad = ub (matches no col)
+    lrows = _pick_row(lrows_ref, b)  # [1, eb]
+    vals = _pick_row(vals_ref, b)  # [1, eb]
+    lcols = _pick_row(lcols_ref, b)  # [1, eb] in [0, ub); pad = ub (matches no col)
     g = g_ref[0]  # [ub, d] distinct gathered rows
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, ub), 1)
-    onehot_c = (lcols == col_ids).astype(g.dtype)
-    # exact row copy: one nonzero per output row -> no accumulation error
-    # (Mosaic requires f32 matmul accumulation; the cast back to bf16 of
-    # a value that IS a bf16 row is exact)
-    expanded = jax.lax.dot_general(
-        onehot_c, g, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
-        if g.dtype != jnp.bfloat16
-        else jax.lax.Precision.DEFAULT,
-    ).astype(g.dtype)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, rb), 1)
-    onehot_r = (lrows == row_ids).astype(g.dtype) * vals.astype(g.dtype)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (ub, eb), 0)
+    onehot_c = (lcols == col_ids).astype(g.dtype)  # [ub, eb]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rb, eb), 0)
+    onehot_r = (lrows == row_ids).astype(g.dtype) * vals.astype(g.dtype)  # [rb, eb]
     precision = (
         jax.lax.Precision.DEFAULT if g.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     )
+    w = jax.lax.dot_general(  # contract the edge axis of both one-hots
+        onehot_r, onehot_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(g.dtype)  # [rb, ub]; entries are small sums of edge values
     partial_out = jax.lax.dot_general(
-        onehot_r, expanded, (((0,), (0,)), ((), ())),
+        w, g, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -457,8 +509,17 @@ def _blocked_spmm_fwd_only(
     d = x.shape[1]
     v = _packed_vals(blocked, vals)
     gdtype = jnp.bfloat16 if blocked.bf16 else jnp.float32
-    vblk = v.reshape(nb, eb, 1).astype(gdtype)
-    lrows = blocked.local_rows.reshape(nb, eb, 1)
+    # lrows/vals stay rank-2 [nb, eb] end to end (the packers pad nb to
+    # a sublane multiple of 8 with inert all-pad blocks): their
+    # T(8,128) HBM layout is then padding-free, where the old
+    # trailing-singleton [nb, eb, 1] form padded the minor dim 1 -> 128
+    # (a 128x relayout copy that OOMs at 10M+ nnz and dominated the
+    # kernel DMA at bench scale). Blocks fetch 8 rows and _pick_row
+    # selects the grid step's own (see its docstring). vals stay f32
+    # here (bf16 tiles want 16 sublanes); the kernel casts in VMEM.
+    vblk = v.reshape(nb, eb).astype(jnp.float32)
+    lrows = blocked.local_rows
+    idx_pair = lambda b, wmap: (b // 8, 0)
 
     if blocked.int8:
         # per-column symmetric quantisation; dequant rides the out tile
@@ -466,14 +527,14 @@ def _blocked_spmm_fwd_only(
         s = jnp.maximum(s, 1e-12)
         xq = jnp.clip(jnp.round(x / s[None, :]), -127, 127).astype(jnp.int8)
         gathered = xq[blocked.cols.reshape(-1)].reshape(nb, eb, d)
-        scale = s.reshape(1, 1, d).astype(jnp.float32)
+        scale = s.reshape(1, d).astype(jnp.float32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
-                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
-                pl.BlockSpec((1, 1, d), lambda b, wmap: (0, 0, 0)),
+                pl.BlockSpec((8, eb), idx_pair),
+                pl.BlockSpec((8, eb), idx_pair),
+                pl.BlockSpec((1, d), lambda b, wmap: (0, 0)),
                 pl.BlockSpec((1, eb, d), lambda b, wmap: (b, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, rb, d), lambda b, wmap: (wmap[b], 0, 0)),
@@ -490,14 +551,14 @@ def _blocked_spmm_fwd_only(
         # dedup layout: gather each block's DISTINCT cols only
         ub = blocked.ub
         gathered = x.astype(gdtype)[blocked.ucols.reshape(-1)].reshape(nb, ub, d)
-        lcols = blocked.local_cols.reshape(nb, eb, 1)
+        lcols = blocked.local_cols
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
-                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
-                pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
+                pl.BlockSpec((8, eb), idx_pair),
+                pl.BlockSpec((8, eb), idx_pair),
+                pl.BlockSpec((8, eb), idx_pair),
                 pl.BlockSpec((1, ub, d), lambda b, wmap: (b, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, rb, d), lambda b, wmap: (wmap[b], 0, 0)),
@@ -518,9 +579,8 @@ def _blocked_spmm_fwd_only(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            # trailing singleton dim satisfies the TPU block-tiling rule
-            pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
-            pl.BlockSpec((1, eb, 1), lambda b, wmap: (b, 0, 0)),
+            pl.BlockSpec((8, eb), idx_pair),
+            pl.BlockSpec((8, eb), idx_pair),
             pl.BlockSpec((1, eb, d), lambda b, wmap: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, rb, d), lambda b, wmap: (wmap[b], 0, 0)),

@@ -39,13 +39,16 @@ class Recommender:
             build_kg_device_data,
             build_knowledge,
         )
-        from ..models import build_model
+        from ..models import build_model, model_data_needs
         from .trainer import Trainer
 
         cfg = self.cfg
         train, test, kg_df = load_dataset(cfg)
         self.inter = build_interaction(train, test)
-        self.cf_dev = build_cf_device_data(self.inter, eval_user_multiple=cfg.eval_user_batch)
+        self.cf_dev = build_cf_device_data(
+            self.inter, eval_user_multiple=cfg.eval_user_batch,
+            needs=model_data_needs(cfg.model),
+        )
         kg_dev = None
         if cfg.use_knowledge and kg_df is not None:
             kg_dev = build_kg_device_data(build_knowledge(kg_df, self.inter))
@@ -92,6 +95,21 @@ class Recommender:
             scores[rated[rated >= 0]] = -1e9
         order = np.argsort(-scores)[:k]
         return [(int(self.inter.id2item[i]), float(scores[i])) for i in order]
+
+    def export_embeddings(self, path: Optional[str] = None) -> str:
+        """Persist the trained tables for standalone retrieval
+        (eval/serving.Retriever, serving_cli)."""
+        from ..eval.serving import export_embeddings
+        from ..utils.logging import run_dir
+
+        cfg = self.cfg
+        path = path or os.path.join(run_dir(cfg), "embeddings.npz")
+        return export_embeddings(
+            path, self.user_emb, self.item_emb,
+            self.inter.id2user, self.inter.id2item,
+            rated_pad=self.cf_dev.rated_pad,
+            meta={"model": cfg.model, "dataset": cfg.dataset},
+        )
 
     def dump_recommendations(self, path: Optional[str] = None, k: Optional[int] = None) -> str:
         """`<Model>-top-N items.txt` artefact (base/graph_recommender.py:94-118)."""

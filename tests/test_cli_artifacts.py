@@ -23,6 +23,7 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
             "--max_epoch=3", "--batch_size=256", "--lrate=0.05",
             "--item_ranking=10,20", "--experiment=missing", "--missing_pct=10",
             f"--output_dir={tmp_path/'results'}", "--quiet",
+            "--export_embeddings",
         ]
     )
     cfg = cli.build_config(args)
@@ -36,6 +37,13 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(rd, "train_performance.csv"))
     assert os.path.exists(os.path.join(rd, "loss.csv"))
     assert os.path.exists(os.path.join(rd, "final_metrics.csv"))
+    # serving export is loadable and answers queries
+    from hypergraph_diffusion_for_recommendation_tpu.eval.serving import Retriever
+
+    r = Retriever.load(os.path.join(rd, "embeddings.npz"))
+    assert r.meta["model"] == "MF" and r.meta["best_epoch"] == result.best_epoch
+    ids, scores = r.topk([int(r.id2user[0])], k=5)
+    assert ids.shape == (1, 5) and np.isfinite(scores).all()
 
 
 def test_checkpoint_resume(tmp_path, tiny_dataset):

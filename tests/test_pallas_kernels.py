@@ -196,6 +196,15 @@ def test_pack_blocked_matches_naive():
             exp_src.append(np.concatenate([live[s:e], np.zeros(pad, np.int64)]))
             exp_wmap.append(w)
 
+    # the packers pad the block count to a sublane multiple of 8 with
+    # inert all-pad blocks (wmap repeats the last window)
+    while len(exp_wmap) % 8:
+        exp_cols.append(np.zeros(eb, np.int64))
+        exp_vals.append(np.zeros(eb, np.float32))
+        exp_lrows.append(np.full(eb, rb))
+        exp_src.append(np.zeros(eb, np.int64))
+        exp_wmap.append(exp_wmap[-1])
+
     assert blk.n_blocks == len(exp_wmap) and blk.n_windows == n_windows
     np.testing.assert_array_equal(np.asarray(blk.wmap), np.asarray(exp_wmap))
     np.testing.assert_array_equal(np.asarray(blk.cols), np.stack(exp_cols))
