@@ -47,6 +47,51 @@ PALLAS_EXEC_BUDGET = int(os.environ.get("HGDR_PALLAS_EXEC_BUDGET", 2**38))
 _CALLS_PER_STEP_EST = 24
 
 
+def _jit_hoisted(fn):
+    """jit with closed-over arrays hoisted to runtime arguments.
+
+    Trainer functions close over the bundle's device data (adjacency
+    layouts, membership tables — 100s of MB at 10M-edge scale). Plain
+    jit embeds closed-over arrays as CONSTANTS in the lowered module,
+    which (a) ships them inside every remote-compile request (the axon
+    tunnel rejects ~1GB+ bodies with HTTP 413) and (b) lets the
+    compiler duplicate them into executable memory. This traces the
+    function once, splits out ALL jaxpr consts (jax.closure_convert
+    only hoists AD-perturbable ones, which concrete arrays are not),
+    and re-binds them as ordinary call-time arguments — device arrays
+    pass zero-copy. Conversion happens lazily on the first call (the
+    same place jit would trace anyway)."""
+    state: dict = {}
+
+    def call(*args):
+        flat, in_tree = jax.tree.flatten(args)
+        if "fn" not in state:
+            store: dict = {}
+
+            def flat_fn(*flat_args):
+                out = fn(*jax.tree.unflatten(in_tree, flat_args))
+                out_flat, out_tree = jax.tree.flatten(out)
+                store["out_tree"] = out_tree
+                return out_flat
+
+            closed = jax.make_jaxpr(flat_fn)(*flat)
+            jaxpr, out_tree = closed.jaxpr, store["out_tree"]
+            # device-resident once; numpy consts would re-upload per call
+            state["consts"] = [jnp.asarray(c) for c in closed.consts]
+            state["in_tree"] = in_tree
+
+            def run(consts, flat_args):
+                out_flat = jax.core.eval_jaxpr(jaxpr, consts, *flat_args)
+                return jax.tree.unflatten(out_tree, out_flat)
+
+            state["fn"] = jax.jit(run)
+        else:
+            assert in_tree == state["in_tree"], (in_tree, state["in_tree"])
+        return state["fn"](state["consts"], flat)
+
+    return call
+
+
 _MLIR_DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
     "i64": 8, "ui64": 8, "i32": 4, "ui32": 4,
@@ -154,24 +199,24 @@ class Trainer:
             self._chunk_steps = self._resolve_chunk_steps_alternating()
             if self._chunk_steps:
                 self._epoch_fn = None
-                self._alt_sample_fn = jax.jit(self._build_alt_sample_fn())
-                self._cf_chunk_fn = jax.jit(self._build_phase_chunk_fn("cf"))
-                self._kg_chunk_fn = jax.jit(self._build_phase_chunk_fn("kg"))
+                self._alt_sample_fn = _jit_hoisted(self._build_alt_sample_fn())
+                self._cf_chunk_fn = _jit_hoisted(self._build_phase_chunk_fn("cf"))
+                self._kg_chunk_fn = _jit_hoisted(self._build_phase_chunk_fn("kg"))
             else:
-                self._epoch_fn = jax.jit(self._build_alternating_epoch_fn())
+                self._epoch_fn = _jit_hoisted(self._build_alternating_epoch_fn())
         else:
             self.opt_state = self.opt.init(self.params)
             self._chunk_steps = self._resolve_chunk_steps()
             if self._chunk_steps:
                 self._epoch_fn = None
-                self._sample_fn = jax.jit(self._build_sample_fn())
-                self._chunk_fn = jax.jit(self._build_chunk_fn())
+                self._sample_fn = _jit_hoisted(self._build_sample_fn())
+                self._chunk_fn = _jit_hoisted(self._build_chunk_fn())
                 self._setup_fn = (
-                    jax.jit(bundle.epoch_setup) if bundle.epoch_setup is not None else None
+                    _jit_hoisted(bundle.epoch_setup) if bundle.epoch_setup is not None else None
                 )
             else:
-                self._epoch_fn = jax.jit(self._build_epoch_fn())
-        self._eval_fn = jax.jit(self._build_eval_fn())
+                self._epoch_fn = _jit_hoisted(self._build_epoch_fn())
+        self._eval_fn = _jit_hoisted(self._build_eval_fn())
 
     def _resolve_chunk_steps(self) -> int:
         """Steps per device execution: 0 = whole epoch in one execution.
