@@ -52,6 +52,9 @@ def main():
                     help="A @ (A^T @ X) through spmm_pair/AdjPair (the HGCNConv path)")
     ap.add_argument("--eb", type=int, default=None, help="edge block size")
     ap.add_argument("--rb", type=int, default=None, help="row window size")
+    ap.add_argument("--dedup", action="store_true",
+                    help="pack with the dedup-gather layout (pack_blocked_dedup)")
+    ap.add_argument("--ub", type=int, default=None, help="unique-col budget (dedup)")
     args = ap.parse_args()
     m = args.m or args.n
 
@@ -63,6 +66,7 @@ def main():
     from hypergraph_diffusion_for_recommendation_tpu.ops.pallas.segment_spmm import (
         blocked_spmm,
         pack_blocked,
+        pack_blocked_dedup,
     )
 
     rng = np.random.default_rng(0)
@@ -70,8 +74,13 @@ def main():
     top_row_count = int(np.max(np.bincount(rows, minlength=args.n)))
     print(f"top-row degree (revisit-chain proxy): {top_row_count}", flush=True)
 
-    blocked = pack_blocked(rows, cols, vals, (args.n, m), bf16=args.bf16,
-                           edge_block=args.eb, row_block=args.rb)
+    if args.dedup:
+        blocked = pack_blocked_dedup(rows, cols, vals, (args.n, m), bf16=args.bf16,
+                                     edge_block=args.eb, row_block=args.rb,
+                                     unique_block=args.ub)
+    else:
+        blocked = pack_blocked(rows, cols, vals, (args.n, m), bf16=args.bf16,
+                               edge_block=args.eb, row_block=args.rb)
     print(f"n_blocks={blocked.n_blocks} n_windows={blocked.n_windows}", flush=True)
 
     x = jnp.asarray(rng.standard_normal((m, args.d)).astype(np.float32))
