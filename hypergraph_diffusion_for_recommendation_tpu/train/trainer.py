@@ -299,15 +299,36 @@ class Trainer:
             return 0
 
     # ------------------------------------------------------------------
+    def _dp_constrain(self, batch: tuple):
+        """Shard a step's batch arrays over the mesh's data axis.
+
+        GSPMD then splits the batch-dependent work (embedding gathers,
+        scores, losses) across devices and inserts the gradient psum.
+        The full-graph propagation inside a step is batch-independent
+        and stays replicated, so examples/s scales with devices under
+        WEAK scaling (global batch_size x n_data) — see
+        scripts/scaling_efficiency.py and BENCH_NOTES.md. No-op without
+        a mesh or with a size-1 data axis.
+        """
+        mesh = self.mesh
+        if mesh is None or mesh.shape.get("data", 1) <= 1:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = NamedSharding(mesh, P("data"))
+        return tuple(jax.lax.with_sharding_constraint(b, dp) for b in batch)
+
     def _build_epoch_fn(self):
         bundle = self.bundle
         cfg = self.cfg
         cf = bundle.cf
         opt = self.opt
 
+        dp_constrain = self._dp_constrain
+
         def step(carry, xs):
             params, opt_state, extras = carry
-            batch, srng = xs[:-1], xs[-1]
+            batch, srng = dp_constrain(xs[:-1]), xs[-1]
             k_up, k_loss = jax.random.split(srng)
             if bundle.update_extras is not None:
                 extras = bundle.update_extras(params, extras, batch, k_up)
@@ -407,10 +428,11 @@ class Trainer:
         scan."""
         bundle = self.bundle
         opt = self.opt
+        dp_constrain = self._dp_constrain
 
         def step(carry, xs):
             params, opt_state, extras = carry
-            batch, srng, valid = xs[:-2], xs[-2], xs[-1]
+            batch, srng, valid = dp_constrain(xs[:-2]), xs[-2], xs[-1]
             k_up, k_loss = jax.random.split(srng)
             new_extras = extras
             if bundle.update_extras is not None:
@@ -504,6 +526,7 @@ class Trainer:
         bundle = self.bundle
         loss_fn = bundle.batch_loss if phase == "cf" else bundle.kg_batch_loss
         opt = self.opt if phase == "cf" else self.kg_opt
+        dp_constrain = self._dp_constrain
 
         def clip(grads):
             if bundle.grad_clip_norm is None:
@@ -516,7 +539,7 @@ class Trainer:
             params, ostate, extras = carry
             *batch, srng, valid = xs
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, extras, tuple(batch), srng
+                params, extras, dp_constrain(tuple(batch)), srng
             )
             updates, new_ostate = opt.update(clip(grads), ostate, params)
             new_params = optax.apply_updates(params, updates)
@@ -574,6 +597,7 @@ class Trainer:
         cf = bundle.cf
         kg = bundle.kg
         cf_opt, kg_opt = self.opt, self.kg_opt
+        dp_constrain = self._dp_constrain
         n_kg_batches = int(kg.n_kg_train // cfg.batch_size_kg + 1)
 
         def clip(grads):
@@ -595,7 +619,7 @@ class Trainer:
                 params, ostate = carry
                 *batch, srng = xs
                 (loss, aux), grads = jax.value_and_grad(bundle.batch_loss, has_aux=True)(
-                    params, extras, tuple(batch), srng
+                    params, extras, dp_constrain(tuple(batch)), srng
                 )
                 updates, ostate = cf_opt.update(clip(grads), ostate, params)
                 params = optax.apply_updates(params, updates)
@@ -616,7 +640,7 @@ class Trainer:
                 params, ostate = carry
                 *batch, srng = xs
                 (loss, aux), grads = jax.value_and_grad(bundle.kg_batch_loss, has_aux=True)(
-                    params, extras, tuple(batch), srng
+                    params, extras, dp_constrain(tuple(batch)), srng
                 )
                 updates, ostate = kg_opt.update(clip(grads), ostate, params)
                 params = optax.apply_updates(params, updates)

@@ -97,3 +97,31 @@ def test_khgrec_explicit_lookup_matches_plain(tiny_kg_dataset):
         l1, _ = t_plain.run_epoch(ep)
         l2, _ = t_mesh.run_epoch(ep)
         assert abs(l1 - l2) < 1e-3, (ep, l1, l2)
+
+
+def test_data_axis_actually_partitions_batch(tiny_dataset):
+    """The compiled sharded step must PARTITION batch work over the data
+    axis (not silently replicate it) and all-reduce the gradients: the
+    compiled epoch HLO contains an all-reduce, and a batch-shaped
+    intermediate carries a data-axis sharding."""
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cfg = make_config(
+        "LightGCN", batch_size=512, embedding_size=32, item_ranking=(10,),
+        eval_user_batch=64, max_epoch=1, early_stopping_steps=2,
+    )
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    mesh = make_mesh(8, 1)
+    t = Trainer(build_model(cfg, cf), mesh=mesh)
+
+    epoch_fn = t._build_epoch_fn()
+    lowered = jax.jit(epoch_fn).lower(
+        t.params, t.opt_state, t.extras, jax.random.PRNGKey(0)
+    )
+    text = lowered.as_text()
+    # the dp constraint annotates batch arrays over the 8-way data axis
+    # (shardy lowering: sdy.sharding_constraint <@mesh, [{"data"}]>)
+    assert "sdy.sharding_constraint" in text, "no sharding constraint emitted"
+    assert '[{"data"}]' in text, "no data-axis sharding annotation"
+    compiled = lowered.compile().as_text()
+    assert "all-reduce" in compiled, "no gradient all-reduce in compiled HLO"
