@@ -311,11 +311,11 @@ class Trainer:
         a mesh or with a size-1 data axis.
         """
         mesh = self.mesh
-        if mesh is None or mesh.shape.get("data", 1) <= 1:
-            return batch
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS, batch_sharded
 
-        dp = NamedSharding(mesh, P("data"))
+        if mesh is None or mesh.shape.get(DATA_AXIS, 1) <= 1:
+            return batch
+        dp = batch_sharded(mesh)
         return tuple(jax.lax.with_sharding_constraint(b, dp) for b in batch)
 
     def _build_epoch_fn(self):

@@ -54,33 +54,52 @@ class SupervisorReport:
 
 
 def _pump(stream, sink, last_output_ts: list[float]) -> None:
-    """Tee a child stream to ``sink`` while stamping activity time."""
-    for line in iter(stream.readline, b""):
+    """Tee a child stream to ``sink`` while stamping activity time.
+
+    Reads raw chunks (not lines) so ANY bytes — including \\r-only
+    progress output — count as activity for the hang watchdog.
+    """
+    while True:
+        chunk = stream.read1(65536)
+        if not chunk:
+            break
         last_output_ts[0] = time.monotonic()
         try:
-            sink.buffer.write(line)
+            sink.buffer.write(chunk)
             sink.flush()
         except ValueError:  # sink closed during interpreter shutdown
             break
     stream.close()
 
 
-def _kill_group(proc: subprocess.Popen, grace_s: float = 10.0) -> None:
-    """Terminate the child's exact process group (SIGTERM, then SIGKILL)."""
+def _kill_group(proc: subprocess.Popen, grace_s: float = 10.0) -> bool:
+    """Terminate the child's exact process group (SIGTERM, then SIGKILL).
+
+    Returns True once the child has been reaped. A SIGKILLed process
+    stuck in uninterruptible device I/O can outlive the grace period;
+    callers must not restart while it may still hold the device.
+    """
     try:
         pgid = os.getpgid(proc.pid)
     except ProcessLookupError:
-        return
+        proc.poll()  # reap if already exited
+        return True
     for sig in (signal.SIGTERM, signal.SIGKILL):
         try:
             os.killpg(pgid, sig)
         except ProcessLookupError:
-            return
+            pass
         try:
             proc.wait(timeout=grace_s)
-            return
+            return True
         except subprocess.TimeoutExpired:
             continue
+    # last chance: one longer reap window after SIGKILL
+    try:
+        proc.wait(timeout=60.0)
+        return True
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def run_supervised(
@@ -109,6 +128,9 @@ def run_supervised(
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             start_new_session=True,  # own process group -> exact-PGID kill
+            # without this a healthy child whose stdout is block-buffered
+            # (pipes buffer ~8KB) would look silent to the hang watchdog
+            env={**os.environ, "PYTHONUNBUFFERED": "1"},
         )
         last_output = [time.monotonic()]
         pump = threading.Thread(
@@ -132,7 +154,17 @@ def run_supervised(
                     f"killing process group of pid {proc.pid}"
                 )
                 hung = True
-                _kill_group(proc)
+                if not _kill_group(proc):
+                    # unkillable (uninterruptible device I/O): restarting
+                    # now would race the dying worker for the device and
+                    # burn the budget — give up instead
+                    log(
+                        f"[supervisor] pid {proc.pid} survived SIGKILL "
+                        "(uninterruptible I/O?) — not restarting"
+                    )
+                    report.outcomes.append("hang-unkillable")
+                    report.final_returncode = 124
+                    return report
                 break
         pump.join(timeout=5.0)
 

@@ -1,4 +1,7 @@
 """KHGRec mode ablation on the learnable synthetic: does the KG/SSL help?"""
+import sys
+
+sys.path.insert(0, ".")
 import time, jax
 import hypergraph_diffusion_for_recommendation_tpu.data.device as devmod
 devmod.PALLAS_BF16 = True

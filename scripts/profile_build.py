@@ -27,13 +27,13 @@ def main() -> None:
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
 
-    import jax
-
     if not args.tpu:
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        from hypergraph_diffusion_for_recommendation_tpu.utils.platform import (
+            force_virtual_cpu,
+        )
+
+        force_virtual_cpu(1)
+    import jax
 
     from hypergraph_diffusion_for_recommendation_tpu.data import (
         build_cf_device_data,

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -50,24 +49,17 @@ def main() -> None:
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={max(sizes)}"
-        )
-    import jax
-
     if args.cpu or max(sizes) > 1:
-        # The axon sitecustomize overrides JAX_PLATFORMS, and probing
-        # jax.devices() would initialise (and lock in) that backend, so
-        # force CPU directly — multi-device runs in this environment are
-        # always the virtual-CPU mesh. On a real slice, pass sizes that
-        # fit the hardware and drop --cpu (config update is skipped only
-        # if a backend is somehow already initialised).
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        # Multi-device runs in this environment are always the virtual-CPU
+        # mesh (the axon sitecustomize overrides JAX_PLATFORMS and provides
+        # one chip). On a real slice, pass sizes that fit the hardware and
+        # drop --cpu.
+        from hypergraph_diffusion_for_recommendation_tpu.utils.platform import (
+            force_virtual_cpu,
+        )
+
+        force_virtual_cpu(max(sizes))
+    import jax
 
     from hypergraph_diffusion_for_recommendation_tpu.core import make_config
     from hypergraph_diffusion_for_recommendation_tpu.data import (
@@ -105,10 +97,15 @@ def main() -> None:
             batch_size=args.batch * n if args.weak else args.batch,
             max_epoch=args.epochs, early_stopping_steps=args.epochs + 1,
         )
-        # favour a model axis of 2 when available: row-sharded tables +
-        # distributed top-k are exercised, matching the dryrun topology
-        model_ax = 1 if args.dp_only else (2 if n % 2 == 0 and n >= 4 else 1)
-        mesh = make_mesh(n // model_ax, model_ax) if n > 1 else None
+        # default: make_mesh's own auto-factoring (favours a model axis
+        # of 2 when n allows), so the measured topology matches what
+        # production auto-selection would build
+        if n <= 1:
+            mesh = None
+        elif args.dp_only:
+            mesh = make_mesh(n, 1, jax.devices()[:n])
+        else:
+            mesh = make_mesh(devices=jax.devices()[:n])
         bundle = build_model(cfg, cf_dev, kg_dev, mesh=mesh)
         tr = Trainer(bundle, mesh=mesh)
         times = []
@@ -121,7 +118,8 @@ def main() -> None:
         exps = tr.n_batches * cfg.batch_size / steady
         results.append((n, exps, float(loss)))
         print(
-            f"size {n} (mesh {n // model_ax}x{model_ax}): "
+            f"size {n} (mesh "
+            f"{dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else '1x1'}): "
             f"{steady:.3f}s/epoch  {exps:,.0f} ex/s  loss {loss:.4f}",
             flush=True,
         )
