@@ -1,5 +1,11 @@
 """Per-model device-data needs: table-sync + functional tests."""
 
+import pytest
+
+# per-model learning tests (many training epochs on the virtual CPU
+# mesh) live in the slow tier; `pytest -q -m slow` runs them
+pytestmark = pytest.mark.slow
+
 import os
 import re
 

@@ -1,5 +1,11 @@
 """KGIN / KGCL / KTUP / RippleNet tests."""
 
+import pytest
+
+# per-model learning tests (many training epochs on the virtual CPU
+# mesh) live in the slow tier; `pytest -q -m slow` runs them
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,11 @@
 """SSL baseline family tests (DirectAU, SimGCL, XSimGCL, NCL, MixGCF, SSL4Rec)."""
 
+import pytest
+
+# per-model learning tests (many training epochs on the virtual CPU
+# mesh) live in the slow tier; `pytest -q -m slow` runs them
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -88,6 +88,7 @@ def test_unknown_user_raises(export_path):
         r.topk([bad], k=3)
 
 
+@pytest.mark.slow
 def test_sharded_retriever_matches_single(export_path):
     from hypergraph_diffusion_for_recommendation_tpu.parallel import make_mesh
 

@@ -66,6 +66,7 @@ def test_mesh_sharding_actually_applied(tiny_kg_dataset):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_khgrec_explicit_lookup_matches_plain(tiny_kg_dataset):
     """KHGRec built WITH a mesh routes entity-table lookups through the
     explicit shard_map collective (spmd_sharded_lookup); training must
