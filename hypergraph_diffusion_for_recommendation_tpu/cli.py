@@ -78,6 +78,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "sees each recall one epoch late)")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--shard_graph", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="row-window-shard graph adjacencies over the model "
+                        "axis (parallel/sharded_adj.py); auto shards the "
+                        "representations the model declares safe")
     p.add_argument("--output_dir", type=str, default="./results")
     p.add_argument("--export_embeddings", action="store_true",
                    help="write <run_dir>/embeddings.npz for standalone "
@@ -101,7 +106,7 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         "hyper_dim", "lr_decay", "weight_decay", "reg", "reg_kg", "p", "drop_rate",
         "nheads", "temp", "cl_rate", "mode", "aug_type", "laplacian_type",
         "aggregation_type", "early_stopping_steps", "evaluate_every",
-        "mesh_data", "mesh_model", "output_dir", "save_checkpoints", "resume",
+        "mesh_data", "mesh_model", "shard_graph", "output_dir", "save_checkpoints", "resume",
     ):
         v = getattr(args, key)
         if v is not None:
@@ -185,26 +190,43 @@ def run(cfg, quiet: bool = False):
     _device_mod.PALLAS_BF16 = cfg.compute_dtype == "bfloat16"
     _device_mod.PALLAS_DISABLE = cfg.use_pallas == "never"
 
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_model > 1:
+        mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+
+    # graph sharding: row-window-shard the adjacencies a model consumes
+    # purely through spmm chains over the mesh's model axis
+    from .models import model_shard_needs
+
+    shard_needs = frozenset()
+    if cfg.shard_graph != "off" and mesh is not None and cfg.mesh_model > 1:
+        shard_needs = model_shard_needs(cfg.model)
+        if cfg.shard_graph == "on" and not shard_needs:
+            raise ValueError(
+                f"--shard_graph=on: model {cfg.model} has no shardable "
+                "adjacency representations (models.base._MODEL_SHARD_NEEDS)"
+            )
+
     t0 = time.time()
     train, test, kg_df = load_dataset(cfg)
     inter = build_interaction(train, test)
     cf_dev = build_cf_device_data(
         inter, eval_user_multiple=cfg.eval_user_batch,
         needs=model_data_needs(cfg.model),
+        mesh=mesh, shard_needs=shard_needs,
     )
     kg_dev = None
     if cfg.use_knowledge and kg_df is not None:
-        kg_dev = build_kg_device_data(build_knowledge(kg_df, inter))
+        kg_dev = build_kg_device_data(
+            build_knowledge(kg_df, inter), mesh=mesh, shard="kg" in shard_needs
+        )
     print(
         f"data: {inter.n_users} users / {inter.n_items} items / "
         f"{inter.n_cf_train} train edges ({time.time()-t0:.1f}s)"
+        + (f"  [sharded: {sorted(shard_needs)}]" if shard_needs else "")
     )
 
-    mesh = None
-    if cfg.mesh_data * cfg.mesh_model > 1:
-        mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
-
-    bundle = build_model(cfg, cf_dev, kg_dev)
+    bundle = build_model(cfg, cf_dev, kg_dev, mesh=mesh)
     trainer = Trainer(bundle, mesh=mesh)
 
     artifacts = RunArtifacts(cfg)

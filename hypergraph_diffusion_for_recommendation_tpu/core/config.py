@@ -79,6 +79,12 @@ class Config:
     scan_chunk_steps: int = 0
     neg_resample_rounds: int = 8  # on-device rejection-free redraw rounds
     shard_min_rows: int = 1024  # min table rows before row-sharding kicks in
+    # row-window-shard the graph adjacencies over the mesh's model axis
+    # (parallel/sharded_adj.py; per-device adjacency memory ~nnz/S):
+    # auto = shard the representations models.model_shard_needs(model)
+    # declares safe whenever mesh_model > 1; on = same but assert the
+    # model supports it; off = always replicate
+    shard_graph: str = "auto"  # auto | on | off
     eval_user_batch: int = 512  # users scored per eval block
     pad_multiple: int = 8  # pad nnz/rows to multiples of this
     # async (one-epoch-lagged) eval: dispatch each epoch's eval without

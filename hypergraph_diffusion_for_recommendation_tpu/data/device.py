@@ -66,6 +66,18 @@ class AdjPair:
         if keep_rate >= 1.0:
             return self
 
+        from ..parallel.sharded_adj import ShardedCOO, sharded_dropped
+
+        if isinstance(self.fwd, ShardedCOO):
+            # sharded layouts carry explicit GLOBAL canonical edge ids;
+            # both directions hash the same ids so the masks agree (and
+            # match an unsharded run bit-for-bit — the canon ids are the
+            # same fwd-sorted positions `make_adj_pair` layouts hash)
+            return self.replace(
+                fwd=sharded_dropped(self.fwd, rng, keep_rate),
+                bwd=sharded_dropped(self.bwd, rng, keep_rate),
+            )
+
         def masked(vals, ids):
             keep = hash_keep_mask(rng, ids, keep_rate)
             return jnp.where(keep, vals / keep_rate, 0.0)
@@ -277,22 +289,48 @@ def build_cf_device_data(
     pad_multiple: int = 8,
     eval_user_multiple: int = 256,
     needs: frozenset | set | None = None,
+    mesh=None,
+    shard_needs: frozenset | set | None = None,
 ) -> CFDeviceData:
     """`needs` (from `models.model_data_needs(name)`) selects which
     adjacency representations to build; None builds all of them. Edge
-    arrays, rated-item masks and eval data are always built."""
+    arrays, rated-item masks and eval data are always built.
+
+    With `mesh` + `shard_needs` (from `models.model_shard_needs(name)`),
+    the named representations are built ROW-WINDOW SHARDED over the
+    mesh's model axis (parallel/sharded_adj.py): per-device adjacency
+    memory drops to ~nnz/S and their spmms run as explicit shard_map
+    collectives. Only representations every consumer touches through
+    spmm/two_hop/dropped are eligible (scatter-form models read raw COO
+    fields and keep the replicated layout).
+    """
     import scipy.sparse as sp
 
     def want(field: str) -> bool:
         return needs is None or field in needs
 
-    adj = adj_pair_from_scipy(inter.norm_adj, pad_multiple) if want("adj") else None
+    from ..parallel.mesh import MODEL_AXIS
+
+    do_shard = (
+        mesh is not None
+        and shard_needs
+        and mesh.shape.get(MODEL_AXIS, 1) > 1
+    )
+
+    def make_pair(field: str, mat):
+        if do_shard and field in shard_needs:
+            from ..parallel.sharded_adj import shard_adj_pair_from_scipy
+
+            return shard_adj_pair_from_scipy(mat, mesh)
+        return adj_pair_from_scipy(mat, pad_multiple)
+
+    adj = make_pair("adj", inter.norm_adj) if want("adj") else None
     int_norm = (
-        adj_pair_from_scipy(inter.norm_interaction_mat, pad_multiple)
+        make_pair("int_norm", inter.norm_interaction_mat)
         if want("int_norm") else None
     )
     inv_int_norm = (
-        adj_pair_from_scipy(inter.norm_inv_interaction_mat, pad_multiple)
+        make_pair("inv_int_norm", inter.norm_inv_interaction_mat)
         if want("inv_int_norm") else None
     )
     raw_int = (
@@ -314,7 +352,7 @@ def build_cf_device_data(
         dv_is[np.isinf(dv_is)] = 0.0
         de_is[np.isinf(de_is)] = 0.0
         b = (sp.diags(dv_is) @ h_mat @ sp.diags(de_is)).tocsr()
-        b_hyper = adj_pair_from_scipy(b, pad_multiple)
+        b_hyper = make_pair("b_hyper", b)
 
     # raw bipartite adjacency with per-entry provenance to interaction edges
     n_users, n_items = inter.n_users, inter.n_items
@@ -389,8 +427,17 @@ def build_cf_device_data(
     )
 
 
-def build_kg_device_data(kg: KnowledgeData, pad_multiple: int = 8) -> KGDeviceData:
-    kg_adj = adj_pair_from_scipy(kg.norm_kg_adj, pad_multiple)
+def build_kg_device_data(
+    kg: KnowledgeData, pad_multiple: int = 8, mesh=None, shard: bool = False
+) -> KGDeviceData:
+    from ..parallel.mesh import MODEL_AXIS
+
+    if shard and mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        from ..parallel.sharded_adj import shard_adj_pair_from_scipy
+
+        kg_adj = shard_adj_pair_from_scipy(kg.norm_kg_adj, mesh)
+    else:
+        kg_adj = adj_pair_from_scipy(kg.norm_kg_adj, pad_multiple)
 
     n_kg = kg.h.shape[0]
     order = native.sort_pairs(kg.h, kg.t)

@@ -3,6 +3,7 @@ from .base import (
     ModelBundle,
     build_model,
     model_data_needs,
+    model_shard_needs,
     register_model,
 )
 
@@ -27,6 +28,6 @@ from . import kgin_kgcl  # noqa: F401
 from . import ktup_ripplenet  # noqa: F401  (KTUP/HKGRippleNet)
 
 __all__ = [
-    "MODEL_REGISTRY", "ModelBundle", "build_model", "model_data_needs",
+    "MODEL_REGISTRY", "ModelBundle", "build_model", "model_data_needs", "model_shard_needs",
     "register_model",
 ]

@@ -30,8 +30,14 @@ def spmm(a: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
     Dispatches to the pallas row-window segment-matmul kernel when a
     blocked layout is attached (TPU; ~1.3-1.4x over the XLA
     scatter-add lowering at LastFM scale) and falls back to
-    gather + sorted segment_sum otherwise.
+    gather + sorted segment_sum otherwise. Row-window-sharded layouts
+    (parallel/sharded_adj.py) run as an explicit shard_map collective —
+    all_gather the operand, reduce the local edge window.
     """
+    from ..parallel.sharded_adj import ShardedCOO, sharded_spmm
+
+    if isinstance(a, ShardedCOO):
+        return sharded_spmm(a, x)
     if a.blocked is not None:
         from .pallas.segment_spmm import blocked_spmm
 

@@ -8,6 +8,13 @@ from .mesh import (
     replicated,
     row_sharded,
 )
+from .sharded_adj import (
+    ShardedCOO,
+    shard_adj_pair,
+    shard_adj_pair_from_scipy,
+    shard_sparse,
+    sharded_spmm,
+)
 from .sharded_gcn import ShardedLightGCN, shard_rows_coo
 from .sharded_mf import ShardedMF
 from .topk import sharded_user_topk
@@ -23,6 +30,11 @@ __all__ = [
     "sharded_lookup",
     "sharded_scatter_add",
     "sharded_user_topk",
+    "ShardedCOO",
+    "shard_adj_pair",
+    "shard_adj_pair_from_scipy",
+    "shard_sparse",
+    "sharded_spmm",
     "ShardedLightGCN",
     "ShardedMF",
     "shard_rows_coo",

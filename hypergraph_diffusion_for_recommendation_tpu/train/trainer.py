@@ -756,9 +756,28 @@ class Trainer:
         if step is None:
             return 0
         state = ckpt.restore(step, template)
-        self.params = state["params"]
-        self.opt_state = state["opt_state"]
-        self.extras = state["extras"]
+
+        from jax.sharding import NamedSharding
+
+        def replace_like(live, restored):
+            # orbax round-trips through host numpy; re-place mesh-sharded
+            # leaves with the LIVE state's sharding so row-sharded tables
+            # (and the optimizer state initialised from them) come back
+            # onto the mesh with their layouts intact. Single-device
+            # leaves stay UNCOMMITTED (device_put would pin them to
+            # device 0 and conflict with the mesh-committed params in
+            # the next jit call).
+            def one(t, r):
+                s = getattr(t, "sharding", None)
+                if isinstance(s, NamedSharding):
+                    return jax.device_put(jnp.asarray(r), s)
+                return jnp.asarray(r)
+
+            return jax.tree.map(one, live, restored)
+
+        self.params = replace_like(self.params, state["params"])
+        self.opt_state = replace_like(self.opt_state, state["opt_state"])
+        self.extras = replace_like(self.extras, state["extras"])
         self.rng = jnp.asarray(state["rng"])
         return step + 1
 

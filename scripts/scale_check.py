@@ -27,11 +27,35 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--with-kg", action="store_true")
+    ap.add_argument("--mesh", type=str, default="",
+                    help="'data,model' axis sizes, e.g. 1,8 — runs on a "
+                         "virtual CPU mesh when more devices are requested "
+                         "than exist; combines with --shard_graph")
+    ap.add_argument("--shard_graph", action="store_true",
+                    help="row-window-shard the adjacencies over the model "
+                         "axis (per-device edge memory ~nnz/S)")
     args = ap.parse_args()
+
+    mesh = None
+    if args.mesh:
+        d_ax, m_ax = (int(x) for x in args.mesh.split(","))
+        if d_ax * m_ax > 1:
+            # this environment exposes ONE real chip; multi-device runs
+            # go to a virtual CPU mesh. Must happen BEFORE the backend
+            # initialises (so no jax call may precede it).
+            from hypergraph_diffusion_for_recommendation_tpu.utils.platform import (
+                force_virtual_cpu,
+            )
+
+            force_virtual_cpu(d_ax * m_ax)
 
     import hypergraph_diffusion_for_recommendation_tpu.data.device as devmod
 
     devmod.PALLAS_BF16 = args.bf16
+    if args.mesh:
+        from hypergraph_diffusion_for_recommendation_tpu.parallel import make_mesh
+
+        mesh = make_mesh(d_ax, m_ax)
     from hypergraph_diffusion_for_recommendation_tpu.core import make_config
     from hypergraph_diffusion_for_recommendation_tpu.data import (
         build_cf_device_data,
@@ -55,13 +79,17 @@ def main():
     t0 = time.time()
     from hypergraph_diffusion_for_recommendation_tpu.models import model_data_needs
 
+    from hypergraph_diffusion_for_recommendation_tpu.models import model_shard_needs
+
+    shard_needs = model_shard_needs(args.model) if (args.shard_graph and mesh) else frozenset()
     cf_dev = build_cf_device_data(
-        inter, eval_user_multiple=512, needs=model_data_needs(args.model)
+        inter, eval_user_multiple=512, needs=model_data_needs(args.model),
+        mesh=mesh, shard_needs=shard_needs,
     )
     kg_dev = None
     if args.with_kg:
         kg = build_knowledge(kg_df, inter)
-        kg_dev = build_kg_device_data(kg)
+        kg_dev = build_kg_device_data(kg, mesh=mesh, shard="kg" in shard_needs)
     print(f"device data: {time.time()-t0:.1f}s; adj nnz={cf_dev.adj.fwd.nnz} "
           f"blocked={'yes' if cf_dev.adj.fwd.blocked is not None else 'no'}", flush=True)
 
@@ -70,7 +98,14 @@ def main():
         item_ranking=(10, 20, 40), eval_user_batch=512,
         max_epoch=args.epochs, early_stopping_steps=args.epochs + 1,
     )
-    tr = Trainer(build_model(cfg, cf_dev, kg_dev))
+    if shard_needs:
+        from hypergraph_diffusion_for_recommendation_tpu.parallel import ShardedCOO
+
+        srep = [f for f in sorted(shard_needs) if f != "kg"]
+        print(f"sharded adjacencies: {srep + (['kg'] if 'kg' in shard_needs else [])} "
+              f"over mesh {args.mesh} (per-device ~1/{m_ax} of edges)", flush=True)
+        assert not srep or isinstance(getattr(cf_dev, srep[0]).fwd, ShardedCOO)
+    tr = Trainer(build_model(cfg, cf_dev, kg_dev, mesh=mesh), mesh=mesh)
     print(f"chunked execution: {tr._chunk_steps or 'off'} steps/exec "
           f"({tr.n_batches} batches/epoch)", flush=True)
     for ep in range(args.epochs):
