@@ -38,8 +38,10 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=0,
-                    help="extra epochs to convergence-check the model")
+    ap.add_argument("--epochs", type=int, default=40,
+                    help="extra epochs to convergence-check the model "
+                         "(healthy-model evidence in the driver artifact; "
+                         "~0.6s/epoch steady-state — 0 to skip)")
     ap.add_argument("--no_async_demo", action="store_true")
     ap.add_argument("--no_roofline", action="store_true")
     args = ap.parse_args()

@@ -171,7 +171,8 @@ def main() -> int:
         )
         for model, exp, pct, vals in rows:
             r20, n20 = vals[6], vals[7]
-            ref = BASELINE_ROWS.get((model, exp, pct))
+            # reference numbers are LastFM-only (BASELINE.md)
+            ref = BASELINE_ROWS.get((model, exp, pct)) if args.dataset == "lastfm" else None
             rr = f"{ref[2]}" if ref else "—"
             rn = f"{ref[3]}" if ref else "—"
             f.write(f"| {model} | {exp} | {pct} | {r20} | {rr} | {n20} | {rn} |\n")
