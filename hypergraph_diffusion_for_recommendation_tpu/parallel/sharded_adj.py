@@ -66,6 +66,13 @@ class ShardedCOO:
     rps: int = struct.field(pytree_node=False, default=0)  # rows per shard
     mesh: Mesh = struct.field(pytree_node=False, default=None)
     axis: str = struct.field(pytree_node=False, default=MODEL_AXIS)
+    # balanced (edge-partition) mode: each shard holds exactly ~nnz/S
+    # CONSECUTIVE sorted edges regardless of row skew; `lrows` are then
+    # GLOBAL rows (pad = S*rps), each device reduces its edges into a
+    # full [S*rps, d] partial and a psum_scatter re-shards the output.
+    # Window mode (default) needs no output collective but pads every
+    # shard to the heaviest row window's nnz.
+    balanced: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -96,20 +103,41 @@ def _shard_windows(rows, cols, vals, canon, n_shards: int, rps: int):
     return lr, cc, vv, cn
 
 
-def _pack_shard_blocked(lr, cc, vv, cn, n_shards, rps, ncols, bf16):
+def _shard_edges_balanced(rows, cols, vals, canon, n_shards: int, n_pad: int):
+    """Split globally row-sorted live edges into S equal consecutive
+    chunks (perfect nnz balance; rows stay GLOBAL, pad row = n_pad)."""
+    nnz = rows.shape[0]
+    e_pad = max(pad_to_multiple(-(-nnz // n_shards), 8), 8)
+    lr = np.full((n_shards, e_pad), n_pad, np.int32)
+    cc = np.zeros((n_shards, e_pad), np.int32)
+    vv = np.zeros((n_shards, e_pad), np.float32)
+    cn = np.zeros((n_shards, e_pad), np.int32)
+    chunk = -(-nnz // n_shards)
+    for s in range(n_shards):
+        lo, hi = s * chunk, min((s + 1) * chunk, nnz)
+        n = max(hi - lo, 0)
+        lr[s, :n] = rows[lo:hi]
+        cc[s, :n] = cols[lo:hi]
+        vv[s, :n] = vals[lo:hi]
+        cn[s, :n] = canon[lo:hi]
+    return lr, cc, vv, cn
+
+
+def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16):
     """Per-shard pallas layouts stacked on a leading shard axis.
 
-    Each shard's window is packed independently (`pack_blocked` on the
-    (rps, ncols)-shaped local matrix); block counts are padded to the
-    max across shards with inert all-pad blocks (local_rows = rb match
-    no row; wmap repeats the last window so the kernel re-accumulates
+    Each shard's edges are packed independently (`pack_blocked` on the
+    (out_rows, ncols)-shaped local matrix — out_rows = rps in window
+    mode, S*rps in balanced mode); block counts are padded to the max
+    across shards with inert all-pad blocks (local_rows = rb match no
+    row; wmap repeats the last window so the kernel re-accumulates
     zeros into an already-written tile).
     """
     from ..ops.pallas.segment_spmm import pack_blocked
 
     per = []
     for s in range(n_shards):
-        b = pack_blocked(lr[s], cc[s], vv[s], (rps, ncols), bf16=bf16,
+        b = pack_blocked(lr[s], cc[s], vv[s], (out_rows, ncols), bf16=bf16,
                          canon_map=cn[s])
         per.append(b)
     nb_max = max(b.n_blocks for b in per)  # already a multiple of 8
@@ -149,6 +177,7 @@ def shard_sparse(
     canon=None,
     axis: str = MODEL_AXIS,
     attach_blocked: bool | None = None,
+    mode: str = "auto",
 ) -> ShardedCOO:
     """Host-side build of a ShardedCOO from live (row,col,val) edges.
 
@@ -156,6 +185,12 @@ def shard_sparse(
     `canon` gives each INPUT edge its global canonical id (defaults to
     the position in the sorted order — the same ids the unsharded
     padded-COO layout uses, so dropout masks agree across layouts).
+
+    `mode`: "window" pins each shard to a contiguous row window (no
+    output collective, but every shard pads to the heaviest window's
+    nnz); "balanced" gives each shard exactly ~nnz/S edges (skew-proof
+    memory and compute, one psum_scatter per hop); "auto" picks
+    balanced when the heaviest window holds > 1.5x the mean.
     """
     from .. import native
     from ..data import device as _dev
@@ -169,7 +204,17 @@ def shard_sparse(
 
     n_shards = int(mesh.shape[axis])
     rps = pad_to_multiple(-(-int(shape[0]) // n_shards), 8)
-    lr, cc, vv, cn = _shard_windows(rows, cols, vals, canon, n_shards, rps)
+    if mode == "auto":
+        starts = np.searchsorted(rows, np.arange(n_shards) * rps, side="left")
+        n_per = np.append(starts[1:], rows.shape[0]) - starts
+        mean = max(rows.shape[0] / n_shards, 1.0)
+        mode = "balanced" if int(n_per.max()) > 1.5 * mean else "window"
+    balanced = mode == "balanced"
+    if balanced:
+        lr, cc, vv, cn = _shard_edges_balanced(
+            rows, cols, vals, canon, n_shards, n_shards * rps)
+    else:
+        lr, cc, vv, cn = _shard_windows(rows, cols, vals, canon, n_shards, rps)
 
     blocked = None
     if attach_blocked is None:
@@ -179,7 +224,8 @@ def shard_sparse(
             and _dev.PALLAS_MIN_NNZ <= rows.shape[0] <= _dev.PALLAS_MAX_NNZ
         )
     if attach_blocked:
-        blocked = _pack_shard_blocked(lr, cc, vv, cn, n_shards, rps,
+        out_rows = n_shards * rps if balanced else rps
+        blocked = _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows,
                                       int(shape[1]), _dev.PALLAS_BF16)
 
     shard_rows = NamedSharding(mesh, P(axis))
@@ -194,7 +240,7 @@ def shard_sparse(
         lrows=put(lr), cols=put(cc), vals=put(vv), canon=put(cn),
         blocked=blocked,
         nrows=int(shape[0]), ncols=int(shape[1]), nnz=int(rows.shape[0]),
-        rps=rps, mesh=mesh, axis=axis,
+        rps=rps, mesh=mesh, axis=axis, balanced=balanced,
     )
 
 
@@ -226,17 +272,25 @@ def sharded_spmm(a: ShardedCOO, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.pad(x, ((0, m_pad - x.shape[0]), (0, 0)))
 
     has_blocked = a.blocked is not None
+    n_out = S * a.rps if a.balanced else a.rps
 
     def body(lrows, cols, vals, blk, x_sh):
         x_full = jax.lax.all_gather(x_sh, axis, axis=0, tiled=True)
         if has_blocked:
             from ..ops.pallas.segment_spmm import blocked_spmm
 
-            return blocked_spmm(_local_blocked(blk, 0), x_full, None)
-        g = x_full[cols[0]] * vals[0][:, None].astype(x_full.dtype)
-        return jax.ops.segment_sum(
-            g, lrows[0], num_segments=a.rps, indices_are_sorted=True
-        ).astype(x.dtype)
+            partial = blocked_spmm(_local_blocked(blk, 0), x_full, None)
+        else:
+            g = x_full[cols[0]] * vals[0][:, None].astype(x_full.dtype)
+            partial = jax.ops.segment_sum(
+                g, lrows[0], num_segments=n_out, indices_are_sorted=True
+            ).astype(x.dtype)
+        if a.balanced:
+            # full-row partials -> row-sharded sum (transposes to an
+            # all_gather of the cotangent in the backward pass)
+            return jax.lax.psum_scatter(
+                partial, axis, scatter_dimension=0, tiled=True)
+        return partial
 
     blk_arg = a.blocked
     blk_spec = None
@@ -286,7 +340,8 @@ def sharded_with_new_vals(sp: ShardedCOO, vals: jnp.ndarray) -> ShardedCOO:
     return new
 
 
-def shard_adj_pair(rows, cols, vals, shape, mesh: Mesh, axis: str = MODEL_AXIS):
+def shard_adj_pair(rows, cols, vals, shape, mesh: Mesh, axis: str = MODEL_AXIS,
+                   mode: str = "auto"):
     """Build an AdjPair whose both directions are row-window sharded.
 
     Canonical edge ids are positions in the (row, col)-sorted FWD order
@@ -304,15 +359,18 @@ def shard_adj_pair(rows, cols, vals, shape, mesh: Mesh, axis: str = MODEL_AXIS):
     rows, cols, vals = rows[order], cols[order], vals[order]
     canon = np.arange(rows.shape[0])
 
-    fwd = shard_sparse(rows, cols, vals, shape, mesh, canon=canon, axis=axis)
+    fwd = shard_sparse(rows, cols, vals, shape, mesh, canon=canon, axis=axis,
+                       mode=mode)
     bwd = shard_sparse(cols, rows, vals, (shape[1], shape[0]), mesh,
-                       canon=canon, axis=axis)
+                       canon=canon, axis=axis, mode=mode)
     return AdjPair(
         fwd=fwd, bwd=bwd, t_perm=jnp.zeros((1,), jnp.int32),
         host=HostEdges(rows, cols, vals, (int(shape[0]), int(shape[1]))),
     )
 
 
-def shard_adj_pair_from_scipy(mat, mesh: Mesh, axis: str = MODEL_AXIS):
+def shard_adj_pair_from_scipy(mat, mesh: Mesh, axis: str = MODEL_AXIS,
+                              mode: str = "auto"):
     coo = mat.tocoo()
-    return shard_adj_pair(coo.row, coo.col, coo.data, mat.shape, mesh, axis)
+    return shard_adj_pair(coo.row, coo.col, coo.data, mat.shape, mesh, axis,
+                          mode=mode)

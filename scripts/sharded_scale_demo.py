@@ -3,12 +3,13 @@
 Round 1 hit a 17.56G HBM OOM at 10M edges with the replicated adjacency
 (BENCH_NOTES round 4; the 128x tiling blowup fix brought single-chip
 10M-edge training back, but one chip's HBM still bounds the graph).
-This script shows the row-window-sharded layout removing that bound:
-the same 10M-edge adjacency is built SHARDED over an 8-device mesh,
-per-device edge bytes drop to ~1/8 of the replicated layout, and a
-two-hop diffusion forward+backward (the HD-family hot path) runs
-through the shard_map collective with numerics spot-checked against
-scipy on a row sample.
+This script shows the sharded layout removing that bound: the same
+10M-edge adjacency is built SHARDED over an 8-device mesh (mode="auto"
+picks the edge-balanced partition on this zipf-skewed graph: exactly
+nnz/S edges per device regardless of row skew), per-device edge bytes
+drop to ~1/8 of the replicated layout, and a two-hop diffusion
+forward+backward (the HD-family hot path) runs through the shard_map
+collective with numerics spot-checked against scipy on a row sample.
 
 Run (virtual CPU mesh; per-device HBM relief is structural — the same
 arrays device_put onto a real 8-chip slice hold 1/8 per chip):
@@ -64,7 +65,8 @@ def main():
     mesh = make_mesh(1, args.shards)
     t0 = time.time()
     pair = shard_adj_pair(rows, cols, vals, (n, n), mesh)
-    print(f"sharded AdjPair built ({time.time()-t0:.1f}s)", flush=True)
+    mode = "balanced" if pair.fwd.balanced else "window"
+    print(f"sharded AdjPair built, mode={mode} ({time.time()-t0:.1f}s)", flush=True)
 
     def tree_bytes(t):
         return sum(l.nbytes for l in jax.tree.leaves(t) if hasattr(l, "nbytes"))

@@ -74,6 +74,96 @@ def test_sharded_spmm_blocked_kernel_matches(mesh):
     np.testing.assert_allclose(got, mat.tocsr() @ x, rtol=2e-5, atol=2e-5)
 
 
+def _skewed_sparse(n, m, nnz, seed=0):
+    """Zipf-skewed rows: most edges land in the first row window, the
+    regime where window sharding degenerates and balanced mode pays."""
+    rng = np.random.default_rng(seed)
+    rows = np.minimum((rng.zipf(1.3, nnz) - 1), n - 1)
+    cols = rng.integers(0, m, nnz)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    return sps.coo_matrix((vals, (rows, cols)), shape=(n, m)).tocsr()
+
+
+def test_balanced_mode_matches_scipy_and_auto_picks_it(mesh):
+    """Edge-balanced sharding: equal nnz per shard on a skewed graph,
+    full-row partials reduced by psum_scatter; numerics == scipy and
+    mode='auto' detects the skew."""
+    from hypergraph_diffusion_for_recommendation_tpu.parallel.sharded_adj import (
+        shard_sparse,
+    )
+
+    mat = _skewed_sparse(203, 117, 4000, seed=11).tocoo()
+    sp = shard_sparse(mat.row, mat.col, mat.data, mat.shape, mesh)
+    assert sp.balanced, "auto should pick balanced on a zipf graph"
+    # perfect balance: e_pad ~= nnz/S (padded to 8), not max-window nnz
+    assert sp.lrows.shape[1] <= ((sp.nnz // sp.n_shards) // 8 + 2) * 8
+    x = np.random.default_rng(12).normal(size=(117, 16)).astype(np.float32)
+    got = np.asarray(sharded_spmm(sp, jnp.asarray(x)))
+    np.testing.assert_allclose(got, mat.tocsr() @ x, rtol=2e-5, atol=2e-5)
+
+    # uniform graphs keep window mode (no output collective)
+    uni = _rand_sparse(203, 117, 4000, seed=13).tocoo()
+    sp_u = shard_sparse(uni.row, uni.col, uni.data, uni.shape, mesh)
+    assert not sp_u.balanced
+
+
+def test_balanced_blocked_kernel_and_grad(mesh):
+    """Balanced mode with the per-shard pallas layout (interpret on CPU)
+    and through value_and_grad — two-hop chain vs dense reference."""
+    from hypergraph_diffusion_for_recommendation_tpu.parallel.sharded_adj import (
+        shard_adj_pair,
+    )
+
+    mat = _skewed_sparse(96, 64, 2000, seed=14).tocoo()
+    # dedupe to CSR canonical (shard_adj_pair sums duplicates? no — keep
+    # explicit distinct edges for an exact dense comparison)
+    csr = sps.coo_matrix((mat.data, (mat.row, mat.col)), shape=mat.shape).tocsr()
+    csr.sum_duplicates()
+    coo = csr.tocoo()
+    pair = shard_adj_pair(coo.row, coo.col, coo.data, coo.shape, mesh,
+                          mode="balanced")
+    assert pair.fwd.balanced and pair.bwd.balanced
+    dense = jnp.asarray(csr.toarray())
+    x = jnp.asarray(np.random.default_rng(15).normal(size=(64, 8)).astype(np.float32))
+
+    def f_sharded(x):
+        y = sharded_spmm(pair.fwd, x)
+        z = sharded_spmm(pair.bwd, y)
+        return jnp.sum(jnp.sin(z))
+
+    def f_dense(x):
+        z = dense.T @ (dense @ x)
+        return jnp.sum(jnp.sin(z))
+
+    np.testing.assert_allclose(float(f_sharded(x)), float(f_dense(x)),
+                               rtol=1e-4)
+    g_s = jax.grad(f_sharded)(x)
+    g_d = jax.grad(f_dense)(x)
+    # f32 accumulation-order noise is amplified by the zipf head row
+    # that absorbs most of the 2k edges; forward already matched at 1e-4
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_balanced_dropout_matches_unsharded(mesh):
+    """Canonical-id dropout masks agree between the balanced layout and
+    the replicated one."""
+    from hypergraph_diffusion_for_recommendation_tpu.data.device import (
+        adj_pair_from_scipy,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.ops.sparse import spmm
+
+    mat = _skewed_sparse(120, 120, 3000, seed=16)
+    mat.sum_duplicates()
+    sharded = shard_adj_pair_from_scipy(mat, mesh, mode="balanced")
+    plain = adj_pair_from_scipy(mat)
+    x = jnp.asarray(np.random.default_rng(17).normal(size=(120, 8)).astype(np.float32))
+    rng = jax.random.PRNGKey(7)
+    got = np.asarray(spmm(sharded.dropped(rng, 0.6).fwd, x))
+    want = np.asarray(spmm(plain.dropped(rng, 0.6).fwd, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_spmm_grad_matches(mesh):
     """d/dx of a two-hop chain through the sharded layout == the dense
     reference gradient (all_gather transposes to reduce-scatter)."""
