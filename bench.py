@@ -38,7 +38,7 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=40,
+    ap.add_argument("--epochs", type=int, default=120,
                     help="extra epochs to convergence-check the model "
                          "(healthy-model evidence in the driver artifact; "
                          "~0.6s/epoch steady-state — 0 to skip)")
@@ -246,9 +246,20 @@ def main() -> None:
         for ep in range(args.epochs):
             loss, _ = trainer.run_epoch(ep + n_timed + 1)
         m = trainer.evaluate()
+        # planted-structure oracle ceiling: the synthetic plants 16 item
+        # clusters; test items are only predictable through cluster
+        # identity, so a cluster-perfect scorer ranking its ~n_items/16
+        # cluster mates in random order tops out at ~20/(n_items/16)
+        # recall@20. Converged recall is judged against that, not 1.0.
+        chance = 20.0 / cf_dev.n_items
+        ceiling = min(20.0 / (cf_dev.n_items / 16.0), 1.0)
+        r20 = m[20]["recall"]
         log(
             f"converged after +{args.epochs} epochs ({time.time()-t0:.1f}s): "
-            f"loss {loss:.4f} metrics@20 {m[20]} (chance recall ~0.0017)"
+            f"loss {loss:.4f} metrics@20 {m[20]} — recall {r20:.4f} = "
+            f"{r20 / chance:.1f}x chance ({chance:.5f}), "
+            f"{r20 / ceiling * 100:.0f}% of the ~{ceiling:.4f} "
+            f"planted-cluster oracle ceiling"
         )
 
 

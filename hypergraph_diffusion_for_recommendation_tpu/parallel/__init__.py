@@ -1,4 +1,9 @@
-from .embedding import sharded_lookup, sharded_scatter_add
+from .embedding import (
+    a2a_sharded_lookup,
+    sharded_lookup,
+    sharded_scatter_add,
+    spmd_a2a_lookup,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -27,7 +32,9 @@ __all__ = [
     "param_shardings",
     "replicated",
     "row_sharded",
+    "a2a_sharded_lookup",
     "sharded_lookup",
+    "spmd_a2a_lookup",
     "sharded_scatter_add",
     "sharded_user_topk",
     "ShardedCOO",
