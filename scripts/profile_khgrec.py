@@ -87,9 +87,18 @@ def main():
     )
     from hypergraph_diffusion_for_recommendation_tpu.ops.sparse import spmm_pair, two_hop
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=1890)
+    ap.add_argument("--items", type=int, default=17632)
+    ap.add_argument("--degree", type=float, default=49.0)
+    cli = ap.parse_args()
+
     print(f"devices: {jax.devices()}", flush=True)
     train, test, kg_df = synthetic_dataset(
-        n_users=1890, n_items=17632, mean_degree=49.0, seed=7, with_kg=True
+        n_users=cli.users, n_items=cli.items, mean_degree=cli.degree, seed=7,
+        with_kg=True,
     )
     inter = build_interaction(train, test)
     kg = build_knowledge(kg_df, inter)
