@@ -123,7 +123,18 @@ def main() -> int:
                     help="override epochs (0 = per-model conf default)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="./results/reference_matrix")
+    ap.add_argument("--force_cpu", type=int, default=0, metavar="N",
+                    help="run on N virtual CPU devices instead of the TPU "
+                         "(smoke tests; the axon plugin ignores "
+                         "JAX_PLATFORMS so this must be in-process)")
     args = ap.parse_args()
+
+    if args.force_cpu:
+        from hypergraph_diffusion_for_recommendation_tpu.utils.platform import (
+            force_virtual_cpu,
+        )
+
+        force_virtual_cpu(args.force_cpu)
 
     models = [m.strip() for m in args.models.split(",") if m.strip()]
     experiments = [e.strip() for e in args.experiments.split(",") if e.strip()]
