@@ -86,12 +86,14 @@ def main():
 
     x = jnp.asarray(rng.normal(size=(n, args.d)).astype(np.float32))
 
+    # the AdjPair rides as a jit ARGUMENT (like the production trainer's
+    # const hoisting) so multi-GB layouts never bake into the module
     @jax.jit
-    def loss(x):
-        return jnp.sum(jnp.square(two_hop(pair.fwd, pair.bwd, x)))
+    def loss(p, x):
+        return jnp.sum(jnp.square(two_hop(p.fwd, p.bwd, x)))
 
     t0 = time.time()
-    val, grad = jax.value_and_grad(loss)(x)
+    val, grad = jax.value_and_grad(loss, argnums=1)(pair, x)
     jax.block_until_ready(grad)
     print(
         f"two-hop fwd+grad through shard_map: {time.time()-t0:.1f}s "
