@@ -46,8 +46,19 @@ PALLAS_EXEC_BUDGET = int(os.environ.get("HGDR_PALLAS_EXEC_BUDGET", 2**38))
 # (fwd + custom-VJP bwd; HWNN wavelet chains are the worst case at 16)
 _CALLS_PER_STEP_EST = 24
 
+# buffer donation of the threaded train state (params / opt_state /
+# extras) at the epoch- and chunk-fn jit sites; HGDR_DONATE=0 disables
+_DONATE = os.environ.get("HGDR_DONATE", "1") != "0"
+_DONATE2 = (0, 1) if _DONATE else ()
+_DONATE3 = (0, 1, 2) if _DONATE else ()
 
-def _jit_hoisted(fn):
+
+def _device_copy(tree):
+    """Fresh device buffers for every leaf (donation-safe snapshot)."""
+    return jax.tree.map(jnp.copy, tree)
+
+
+def _jit_hoisted(fn, donate_args: tuple = ()):
     """jit with closed-over arrays hoisted to runtime arguments.
 
     Trainer functions close over the bundle's device data (adjacency
@@ -60,7 +71,16 @@ def _jit_hoisted(fn):
     only hoists AD-perturbable ones, which concrete arrays are not),
     and re-binds them as ordinary call-time arguments — device arrays
     pass zero-copy. Conversion happens lazily on the first call (the
-    same place jit would trace anyway)."""
+    same place jit would trace anyway).
+
+    `donate_args` lists TOP-LEVEL argument positions whose buffers are
+    donated to the computation (jit donate_argnums at leaf granularity):
+    the train-state trio (params, opt_state, extras) threads in→out with
+    identical shapes every epoch/chunk, so XLA aliases the input buffers
+    to the outputs instead of double-buffering them — at 1M-node scale
+    that is ~1.8 GB of transient (params + Adam m/v) per dispatch.
+    Callers must not reuse a donated argument after the call (the
+    Trainer snapshots best-model state with an explicit device copy)."""
     state: dict = {}
 
     def call(*args):
@@ -79,15 +99,34 @@ def _jit_hoisted(fn):
             # device-resident once; numpy consts would re-upload per call
             state["consts"] = [jnp.asarray(c) for c in closed.consts]
             state["in_tree"] = in_tree
+            # top-level donated args -> flat leaf positions
+            sizes = [len(jax.tree.leaves(a)) for a in args]
+            starts = [0]
+            for s in sizes:
+                starts.append(starts[-1] + s)
+            don = sorted(
+                {i for a in donate_args for i in range(starts[a], starts[a + 1])}
+            )
+            keep = [i for i in range(len(flat)) if i not in set(don)]
+            state["don"], state["keep"] = don, keep
+            slot = {i: ("d", j) for j, i in enumerate(don)}
+            slot.update({i: ("k", j) for j, i in enumerate(keep)})
+            order = [slot[i] for i in range(len(flat))]
 
-            def run(consts, flat_args):
-                out_flat = jax.core.eval_jaxpr(jaxpr, consts, *flat_args)
+            def run(consts, don_leaves, keep_leaves):
+                picked = [
+                    don_leaves[j] if w == "d" else keep_leaves[j] for w, j in order
+                ]
+                out_flat = jax.core.eval_jaxpr(jaxpr, consts, *picked)
                 return jax.tree.unflatten(out_tree, out_flat)
 
-            state["fn"] = jax.jit(run)
+            state["fn"] = jax.jit(run, donate_argnums=(1,) if don else ())
         else:
             assert in_tree == state["in_tree"], (in_tree, state["in_tree"])
-        return state["fn"](state["consts"], flat)
+        don, keep = state["don"], state["keep"]
+        return state["fn"](
+            state["consts"], [flat[i] for i in don], [flat[i] for i in keep]
+        )
 
     return call
 
@@ -197,25 +236,38 @@ class Trainer:
                 lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience
             )
             self._chunk_steps = self._resolve_chunk_steps_alternating()
+            # donate the threaded train state (params / opt_state; extras is
+            # REUSED across alternating chunks so it must not be donated
+            # there, but the whole-epoch fn threads it)
             if self._chunk_steps:
                 self._epoch_fn = None
                 self._alt_sample_fn = _jit_hoisted(self._build_alt_sample_fn())
-                self._cf_chunk_fn = _jit_hoisted(self._build_phase_chunk_fn("cf"))
-                self._kg_chunk_fn = _jit_hoisted(self._build_phase_chunk_fn("kg"))
+                self._cf_chunk_fn = _jit_hoisted(
+                    self._build_phase_chunk_fn("cf"), donate_args=_DONATE2
+                )
+                self._kg_chunk_fn = _jit_hoisted(
+                    self._build_phase_chunk_fn("kg"), donate_args=_DONATE2
+                )
             else:
-                self._epoch_fn = _jit_hoisted(self._build_alternating_epoch_fn())
+                self._epoch_fn = _jit_hoisted(
+                    self._build_alternating_epoch_fn(), donate_args=_DONATE3
+                )
         else:
             self.opt_state = self.opt.init(self.params)
             self._chunk_steps = self._resolve_chunk_steps()
             if self._chunk_steps:
                 self._epoch_fn = None
                 self._sample_fn = _jit_hoisted(self._build_sample_fn())
-                self._chunk_fn = _jit_hoisted(self._build_chunk_fn())
+                self._chunk_fn = _jit_hoisted(
+                    self._build_chunk_fn(), donate_args=_DONATE3
+                )
                 self._setup_fn = (
                     _jit_hoisted(bundle.epoch_setup) if bundle.epoch_setup is not None else None
                 )
             else:
-                self._epoch_fn = _jit_hoisted(self._build_epoch_fn())
+                self._epoch_fn = _jit_hoisted(
+                    self._build_epoch_fn(), donate_args=_DONATE3
+                )
         self._eval_fn = _jit_hoisted(self._build_eval_fn())
 
     def _resolve_chunk_steps(self) -> int:
@@ -285,15 +337,37 @@ class Trainer:
 
     def _measured_step_bytes(self, loss_fn=None, batch_sds=None) -> int:
         """Lower ONE train step (grad of a batch loss) locally and read the
-        exact pallas DMA bytes from its StableHLO — no device compile."""
+        exact pallas DMA bytes from its StableHLO — no device compile.
+
+        The loss closes over the bundle's device data (adjacency layouts,
+        membership tables — 100s of MB). Lowering that closure directly
+        would materialise every closed-over array as an MLIR constant,
+        i.e. pull it device→host (minutes over the axon tunnel; observed
+        wedging the bench at LastFM scale). So: trace to a jaxpr first
+        (abstract — nothing materialises), then lower with the consts
+        re-bound as ShapeDtypeStruct ARGUMENTS."""
         loss_fn = self.bundle.batch_loss if loss_fn is None else loss_fn
         b = self._cf_batch_sds() if batch_sds is None else batch_sds
+
+        def g(p, e, batch, k):
+            return jax.value_and_grad(loss_fn, has_aux=True)(p, e, batch, k)
+
         try:
+            args = (self.params, self.extras, b, jax.random.PRNGKey(0))
+            flat, in_tree = jax.tree.flatten(args)
+            closed = jax.make_jaxpr(
+                lambda *fa: g(*jax.tree.unflatten(in_tree, fa))
+            )(*flat)
+            const_sds = [
+                jax.ShapeDtypeStruct(jnp.shape(c), jnp.result_type(c))
+                for c in closed.consts
+            ]
+            flat_sds = [
+                jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)) for a in flat
+            ]
             lowered = jax.jit(
-                lambda p, e, batch, k: jax.value_and_grad(loss_fn, has_aux=True)(
-                    p, e, batch, k
-                )
-            ).lower(self.params, self.extras, b, jax.random.PRNGKey(0))
+                lambda consts, fa: jax.core.eval_jaxpr(closed.jaxpr, consts, *fa)
+            ).lower(const_sds, flat_sds)
             return _lowered_pallas_bytes(lowered.as_text())
         except Exception:
             return 0
@@ -858,7 +932,14 @@ class Trainer:
                 last_metrics is None and pending is None
             )
             dev_metrics = self._eval_fn(self.params, self.extras) if do_eval else None
-            snap = (self.params, self.extras)
+            # device copy: the live (params, extras) buffers are DONATED
+            # to the next epoch's dispatch, so the best-model snapshot
+            # (and the one-epoch-lagged async finalize) needs its own
+            snap = (
+                _device_copy((self.params, self.extras))
+                if _DONATE
+                else (self.params, self.extras)
+            )
             t2 = time.time()
 
             if self.bundle.alternating:

@@ -22,8 +22,32 @@ def cost_analysis(fn: Callable, *args: Any, **kwargs: Any) -> Mapping[str, float
     jax.ShapeDtypeStruct placeholders (no data needed).
     """
     import jax
+    import jax.numpy as jnp
 
-    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    # Trace to a jaxpr first and re-bind closed-over constants as
+    # ShapeDtypeStruct ARGUMENTS: fns that close over large device
+    # arrays (every bundle loss closes over the graph layouts) would
+    # otherwise materialise them as MLIR constants — a device→host pull
+    # of 100s of MB that wedges on the tunnelled TPU backend, and a
+    # compile request the tunnel rejects at ~1GB.
+    flat, in_tree = jax.tree.flatten((args, kwargs))
+    closed = jax.make_jaxpr(
+        lambda *fa: fn(
+            *jax.tree.unflatten(in_tree, fa)[0],
+            **jax.tree.unflatten(in_tree, fa)[1],
+        )
+    )(*flat)
+    const_sds = [
+        jax.ShapeDtypeStruct(jnp.shape(c), jnp.result_type(c)) for c in closed.consts
+    ]
+    flat_sds = [
+        jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)) for a in flat
+    ]
+    compiled = (
+        jax.jit(lambda consts, fa: jax.core.eval_jaxpr(closed.jaxpr, consts, *fa))
+        .lower(const_sds, flat_sds)
+        .compile()
+    )
     stats = compiled.cost_analysis()
     # older jaxlibs return a list with one entry per computation
     if isinstance(stats, (list, tuple)):

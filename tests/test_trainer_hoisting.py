@@ -34,7 +34,7 @@ def test_hoisted_matches_plain_jit_and_strips_constants():
             state_fn = cell.cell_contents
     assert state_fn is not None
     hoisted_size = len(
-        state_fn["fn"].lower(state_fn["consts"], flat).as_text()
+        state_fn["fn"].lower(state_fn["consts"], [], flat).as_text()
     )
     assert hoisted_size < plain_size / 100
 
@@ -59,3 +59,29 @@ def test_hoisted_epoch_training_still_learns(tiny_dataset):
     res = Trainer(build_model(cfg, cf)).fit(quiet=True)
     losses = [r.losses["train_loss"] for r in res.history]
     assert losses[-1] < losses[0]  # actually optimising through the hoisted path
+
+
+def test_hoisted_donation_aliases_state_and_invalidates_input():
+    """donate_args: threaded state buffers are donated to the call; the
+    caller's old arrays become unusable, outputs are correct, and
+    non-donated args (batch) survive."""
+    from hypergraph_diffusion_for_recommendation_tpu.train.trainer import _DONATE
+
+    if not _DONATE:  # HGDR_DONATE=0 escape hatch active in this env
+        return
+
+    def step(state, batch):
+        return {"w": state["w"] + jnp.sum(batch)}, jnp.sum(state["w"])
+
+    h = _jit_hoisted(step, donate_args=(0,))
+    state = {"w": jnp.ones(16)}
+    batch = jnp.full(4, 2.0)
+    new_state, s = h(state, batch)
+    np.testing.assert_allclose(np.asarray(new_state["w"]), np.full(16, 9.0))
+    np.testing.assert_allclose(float(s), 16.0)
+    assert state["w"].is_deleted()  # donated
+    assert not batch.is_deleted()  # kept
+    # threading the NEW state keeps working (cached path)
+    new2, s2 = h(new_state, batch)
+    np.testing.assert_allclose(float(s2), 9.0 * 16)
+    np.testing.assert_allclose(np.asarray(new2["w"]), np.full(16, 17.0))
