@@ -36,6 +36,39 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def supervise(argv: list[str], deadlines: tuple[float, ...]) -> int:
+    """Run the measurement in a child with a wall-clock deadline per
+    attempt, killing the exact process group and retrying on expiry.
+
+    The axon remote-compile service has heavy tail latency: the SAME
+    epoch module compiled in 24 s and 250-320 s across runs, and
+    occasionally wedges outright (>20 min). A wedged XLA call cannot be
+    interrupted from inside the process, so the retry has to live a
+    process above. Child stdout/stderr are inherited — the JSON line
+    flows through untouched."""
+    import os
+    import signal
+    import subprocess
+
+    child_cmd = [sys.executable, "-u", __file__, "--child", *argv]
+    for i, deadline in enumerate(deadlines):
+        log(f"[bench-supervisor] attempt {i + 1}/{len(deadlines)} "
+            f"(deadline {deadline:.0f}s)")
+        proc = subprocess.Popen(child_cmd, start_new_session=True)
+        try:
+            return proc.wait(timeout=deadline)
+        except subprocess.TimeoutExpired:
+            log(f"[bench-supervisor] attempt {i + 1} exceeded {deadline:.0f}s "
+                f"— killing pgid {proc.pid}")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+    log("[bench-supervisor] all attempts timed out")
+    return 124
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=120,
@@ -44,7 +77,20 @@ def main() -> None:
                          "~0.6s/epoch steady-state — 0 to skip)")
     ap.add_argument("--no_async_demo", action="store_true")
     ap.add_argument("--no_roofline", action="store_true")
+    ap.add_argument("--child", action="store_true",
+                    help="run the measurement directly (no supervisor)")
+    ap.add_argument("--attempt_deadline", type=float, default=900.0,
+                    help="per-attempt wall-clock budget in supervised mode")
     args = ap.parse_args()
+
+    if not args.child:
+        passthrough = ["--epochs", str(args.epochs)]
+        if args.no_async_demo:
+            passthrough.append("--no_async_demo")
+        if args.no_roofline:
+            passthrough.append("--no_roofline")
+        d = args.attempt_deadline
+        sys.exit(supervise(passthrough, (d, d * 0.78)))
 
     import jax
 

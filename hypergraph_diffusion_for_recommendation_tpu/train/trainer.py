@@ -248,6 +248,14 @@ class Trainer:
                 self._kg_chunk_fn = _jit_hoisted(
                     self._build_phase_chunk_fn("kg"), donate_args=_DONATE2
                 )
+                self._cf_chunk_fn_full = _jit_hoisted(
+                    self._build_phase_chunk_fn("cf", masked=False),
+                    donate_args=_DONATE2,
+                )
+                self._kg_chunk_fn_full = _jit_hoisted(
+                    self._build_phase_chunk_fn("kg", masked=False),
+                    donate_args=_DONATE2,
+                )
             else:
                 self._epoch_fn = _jit_hoisted(
                     self._build_alternating_epoch_fn(), donate_args=_DONATE3
@@ -260,6 +268,11 @@ class Trainer:
                 self._sample_fn = _jit_hoisted(self._build_sample_fn())
                 self._chunk_fn = _jit_hoisted(
                     self._build_chunk_fn(), donate_args=_DONATE3
+                )
+                # unmasked variant for provably-full chunks (lazy: only
+                # traced/compiled if a full chunk ever runs)
+                self._chunk_fn_full = _jit_hoisted(
+                    self._build_chunk_fn(masked=False), donate_args=_DONATE3
                 )
                 self._setup_fn = (
                     _jit_hoisted(bundle.epoch_setup) if bundle.epoch_setup is not None else None
@@ -494,19 +507,25 @@ class Trainer:
 
         return sample_fn
 
-    def _build_chunk_fn(self):
-        """Fixed-length masked scan over a chunk of train steps — the
-        per-execution unit of the chunked path. `valid` masks padded
-        tail steps (params/opt/extras keep their old values), so a
-        chunked epoch is step-for-step identical to the single-execution
-        scan."""
+    def _build_chunk_fn(self, masked: bool = True):
+        """Fixed-length scan over a chunk of train steps — the
+        per-execution unit of the chunked path. The masked form takes a
+        `valid` vector masking padded tail steps (params/opt/extras keep
+        their old values), so a chunked epoch is step-for-step identical
+        to the single-execution scan. The unmasked form skips the
+        per-step jnp.where over the params/opt/extras trees (~3 extra
+        HBM passes over the state per step) and runs every chunk that is
+        provably full — only the ragged tail chunk pays the masking."""
         bundle = self.bundle
         opt = self.opt
         dp_constrain = self._dp_constrain
 
         def step(carry, xs):
             params, opt_state, extras = carry
-            batch, srng, valid = dp_constrain(xs[:-2]), xs[-2], xs[-1]
+            if masked:
+                batch, srng, valid = dp_constrain(xs[:-2]), xs[-2], xs[-1]
+            else:
+                batch, srng = dp_constrain(xs[:-1]), xs[-1]
             k_up, k_loss = jax.random.split(srng)
             new_extras = extras
             if bundle.update_extras is not None:
@@ -523,6 +542,9 @@ class Trainer:
             updates, new_opt = opt.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
 
+            if not masked:
+                return (new_params, new_opt, new_extras), (loss, aux)
+
             def sel(new, old):
                 return jax.tree.map(lambda a, b: jnp.where(valid, a, b), new, old)
 
@@ -533,11 +555,27 @@ class Trainer:
             aux = {k2: v * vf for k2, v in aux.items()}
             return (params, opt_state, extras), (loss * vf, aux)
 
-        def chunk_fn(params, opt_state, extras, batches, step_rngs, valid):
-            (params, opt_state, extras), (losses, auxes) = jax.lax.scan(
-                step, (params, opt_state, extras), batches + (step_rngs, valid)
-            )
-            return params, opt_state, extras, jnp.sum(losses), jax.tree.map(jnp.sum, auxes)
+        if masked:
+
+            def chunk_fn(params, opt_state, extras, batches, step_rngs, valid):
+                (params, opt_state, extras), (losses, auxes) = jax.lax.scan(
+                    step, (params, opt_state, extras), batches + (step_rngs, valid)
+                )
+                return (
+                    params, opt_state, extras,
+                    jnp.sum(losses), jax.tree.map(jnp.sum, auxes),
+                )
+
+        else:
+
+            def chunk_fn(params, opt_state, extras, batches, step_rngs):
+                (params, opt_state, extras), (losses, auxes) = jax.lax.scan(
+                    step, (params, opt_state, extras), batches + (step_rngs,)
+                )
+                return (
+                    params, opt_state, extras,
+                    jnp.sum(losses), jax.tree.map(jnp.sum, auxes),
+                )
 
         return chunk_fn
 
@@ -555,11 +593,18 @@ class Trainer:
         for c in range(n_chunks):
             pos_ids = base + c * L
             idx = pos_ids % n
-            valid = pos_ids < n
             cb = tuple(b[idx] for b in batches)
-            self.params, self.opt_state, self.extras, ls, asum = self._chunk_fn(
-                self.params, self.opt_state, self.extras, cb, step_rngs[idx], valid
-            )
+            if (c + 1) * L <= n:  # provably full: no per-step state masking
+                self.params, self.opt_state, self.extras, ls, asum = (
+                    self._chunk_fn_full(
+                        self.params, self.opt_state, self.extras, cb, step_rngs[idx]
+                    )
+                )
+            else:
+                valid = pos_ids < n
+                self.params, self.opt_state, self.extras, ls, asum = self._chunk_fn(
+                    self.params, self.opt_state, self.extras, cb, step_rngs[idx], valid
+                )
             loss_sum += float(ls)
             a = {k2: float(v) for k2, v in asum.items()}
             aux_sum = a if aux_sum is None else {k2: aux_sum[k2] + a[k2] for k2 in a}
@@ -594,9 +639,11 @@ class Trainer:
 
         return sample_fn
 
-    def _build_phase_chunk_fn(self, phase: str):
-        """Masked fixed-length scan for ONE phase of the alternating epoch
-        (cf -> batch_loss + cf Adam; kg -> kg_batch_loss + kg Adam)."""
+    def _build_phase_chunk_fn(self, phase: str, masked: bool = True):
+        """Fixed-length scan for ONE phase of the alternating epoch
+        (cf -> batch_loss + cf Adam; kg -> kg_batch_loss + kg Adam).
+        Masked form for the ragged tail chunk; unmasked for full chunks
+        (skips the per-step jnp.where over params/opt trees)."""
         bundle = self.bundle
         loss_fn = bundle.batch_loss if phase == "cf" else bundle.kg_batch_loss
         opt = self.opt if phase == "cf" else self.kg_opt
@@ -611,12 +658,17 @@ class Trainer:
 
         def step(carry, xs):
             params, ostate, extras = carry
-            *batch, srng, valid = xs
+            if masked:
+                *batch, srng, valid = xs
+            else:
+                *batch, srng = xs
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, extras, dp_constrain(tuple(batch)), srng
             )
             updates, new_ostate = opt.update(clip(grads), ostate, params)
             new_params = optax.apply_updates(params, updates)
+            if not masked:
+                return (new_params, new_ostate, extras), loss
 
             def sel(new, old):
                 return jax.tree.map(lambda a, b: jnp.where(valid, a, b), new, old)
@@ -625,11 +677,21 @@ class Trainer:
                 sel(new_params, params), sel(new_ostate, ostate), extras,
             ), loss * valid.astype(jnp.float32)
 
-        def chunk_fn(params, ostate, extras, batches, step_rngs, valid):
-            (params, ostate, _), losses = jax.lax.scan(
-                step, (params, ostate, extras), batches + (step_rngs, valid)
-            )
-            return params, ostate, jnp.sum(losses)
+        if masked:
+
+            def chunk_fn(params, ostate, extras, batches, step_rngs, valid):
+                (params, ostate, _), losses = jax.lax.scan(
+                    step, (params, ostate, extras), batches + (step_rngs, valid)
+                )
+                return params, ostate, jnp.sum(losses)
+
+        else:
+
+            def chunk_fn(params, ostate, extras, batches, step_rngs):
+                (params, ostate, _), losses = jax.lax.scan(
+                    step, (params, ostate, extras), batches + (step_rngs,)
+                )
+                return params, ostate, jnp.sum(losses)
 
         return chunk_fn
 
@@ -637,7 +699,7 @@ class Trainer:
         cf_batches, cf_rngs, kg_batches, kg_rngs = self._alt_sample_fn(k)
         cf_l, kg_l = self._chunk_steps
 
-        def run_phase(chunk_fn, ostate, batches, rngs, L):
+        def run_phase(chunk_fn, chunk_fn_full, ostate, batches, rngs, L):
             n = batches[0].shape[0]
             L = L or n
             n_chunks = -(-n // L)
@@ -647,20 +709,27 @@ class Trainer:
             for c in range(n_chunks):
                 pos_ids = base + c * L
                 idx = pos_ids % n
-                valid = pos_ids < n
                 cb = tuple(b[idx] for b in batches)
-                params, ostate, ls = chunk_fn(
-                    params, ostate, self.extras, cb, rngs[idx], valid
-                )
+                if (c + 1) * L <= n:  # provably full chunk
+                    params, ostate, ls = chunk_fn_full(
+                        params, ostate, self.extras, cb, rngs[idx]
+                    )
+                else:
+                    valid = pos_ids < n
+                    params, ostate, ls = chunk_fn(
+                        params, ostate, self.extras, cb, rngs[idx], valid
+                    )
                 total += float(ls)
             self.params = params
             return ostate, total / n
 
         self.opt_state["cf"], cf_loss = run_phase(
-            self._cf_chunk_fn, self.opt_state["cf"], cf_batches, cf_rngs, cf_l
+            self._cf_chunk_fn, self._cf_chunk_fn_full,
+            self.opt_state["cf"], cf_batches, cf_rngs, cf_l,
         )
         self.opt_state["kg"], kg_loss = run_phase(
-            self._kg_chunk_fn, self.opt_state["kg"], kg_batches, kg_rngs, kg_l
+            self._kg_chunk_fn, self._kg_chunk_fn_full,
+            self.opt_state["kg"], kg_batches, kg_rngs, kg_l,
         )
         return cf_loss + kg_loss, {"cf_loss": cf_loss, "kg_loss": kg_loss}
 
