@@ -227,3 +227,77 @@ def test_cost_analysis_reports_flops():
     assert fl >= 2 * 64 * 128 * 32 * 0.9, fl
     stats = cost_analysis(f, a, b)
     assert "flops" in stats
+
+
+def test_cost_analysis_never_materialises_closure_consts():
+    """Regression: lowering a fn that closes over device arrays must NOT
+    pull them host-side as MLIR constants (on the tunnelled TPU backend
+    that is a minutes-long device->host transfer that wedged the bench;
+    BENCH_NOTES round 2 'lowering wedge')."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypergraph_diffusion_for_recommendation_tpu.utils.profiling import (
+        cost_analysis,
+    )
+
+    big = jnp.ones((512, 512), jnp.float32)  # closed-over device array
+
+    def f(x):
+        return (x @ big).sum()
+
+    from jax._src import array as _array_mod
+
+    pulled = []
+    orig = _array_mod.ArrayImpl._value
+
+    class _Guard:
+        def __get__(self, obj, objtype=None):
+            pulled.append(obj.shape)
+            return orig.__get__(obj, objtype)
+
+    _array_mod.ArrayImpl._value = _Guard()
+    try:
+        stats = cost_analysis(f, jax.ShapeDtypeStruct((8, 512), jnp.float32))
+    finally:
+        _array_mod.ArrayImpl._value = orig
+    assert "flops" in stats
+    assert not any(s == (512, 512) for s in pulled), pulled
+
+
+def test_bench_supervisor_kills_and_retries(tmp_path):
+    """bench.py's compile-lottery supervisor: a deadline expiry kills the
+    child's exact process group and the next attempt runs fresh."""
+    import subprocess
+    import sys
+
+    import bench
+
+    # stub child: first invocation sleeps past the deadline, second exits 0
+    marker = tmp_path / "ran_once"
+    stub = tmp_path / "child.py"
+    stub.write_text(
+        "import pathlib, sys, time\n"
+        f"m = pathlib.Path({str(marker)!r})\n"
+        "if m.exists():\n"
+        "    sys.exit(0)\n"
+        "m.touch()\n"
+        "time.sleep(60)\n"
+    )
+
+    calls = []
+    real_popen = subprocess.Popen
+
+    def popen(cmd, **kw):
+        calls.append(cmd)
+        # -S skips the axon sitecustomize (several seconds of startup)
+        return real_popen([sys.executable, "-S", str(stub)], **kw)
+
+    subprocess.Popen = popen
+    try:
+        rc = bench.supervise([], deadlines=(8.0, 60.0))
+    finally:
+        subprocess.Popen = real_popen
+    assert rc == 0
+    assert len(calls) == 2
+    assert "--child" in calls[0]
