@@ -1021,7 +1021,11 @@ class Trainer:
                 self.plateau = self.plateau.step(loss)
                 self.opt_state = set_lr(self.opt_state, self.plateau.lr)
             if ckpt is not None and (ep + 1) % ckpt_every == 0:
-                ckpt.save(ep, self.params, self.opt_state, self.extras, self.rng)
+                # background save: hand the thread its own device copies —
+                # the live buffers are donated to the next epoch's dispatch
+                st = (self.params, self.opt_state, self.extras)
+                st = _device_copy(st) if (_DONATE and ckpt.background) else st
+                ckpt.save(ep, *st, self.rng)
 
             if cfg.async_eval:
                 # materialize the PREVIOUS epoch's metrics while this

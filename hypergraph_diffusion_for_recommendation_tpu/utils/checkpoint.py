@@ -5,11 +5,21 @@ The reference is save-only: best `state_dict` written per improvement,
 section 5). Here checkpointing is round-trip: params + optimizer state
 + extras + epoch counter + PRNG key are saved and restored, so training
 resumes exactly.
+
+Saves run in a BACKGROUND thread by default: the device→host pull (the
+expensive part through a tunnelled TPU backend) and the orbax write
+overlap the next training epoch. One save is in flight at a time; any
+read (latest_step / restore / close) joins the pending save first. The
+caller must hand the save its own buffers when donation is on — the
+Trainer passes device copies of the live train state (see
+train/trainer.py fit), so the next epoch's dispatch cannot invalidate
+what the thread is reading.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any
 
 import jax
@@ -22,14 +32,23 @@ def _to_pure(tree: Any) -> Any:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 background: bool = True):
         self.dir = os.path.abspath(directory)
         os.makedirs(self.dir, exist_ok=True)
+        self.background = background
+        self._thread: threading.Thread | None = None
         self._mgr = ocp.CheckpointManager(
             self.dir, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
         )
 
-    def save(self, step: int, params, opt_state, extras, rng) -> None:
+    def _join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self._mgr.wait_until_finished()
+
+    def _do_save(self, step: int, params, opt_state, extras, rng) -> None:
         state = {
             "params": _to_pure(params),
             "opt_state": _to_pure(opt_state),
@@ -39,10 +58,29 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
+    def save(self, step: int, params, opt_state, extras, rng) -> None:
+        """Queue (background) or perform (foreground) one save.
+
+        Background mode: joins any previous in-flight save, then pulls
+        and writes this one on a worker thread. The handed-in arrays
+        must stay valid until the save completes — pass copies when the
+        live buffers are donated to the next dispatch."""
+        self._join()
+        if not self.background:
+            self._do_save(step, params, opt_state, extras, rng)
+            return
+        self._thread = threading.Thread(
+            target=self._do_save, args=(step, params, opt_state, extras, rng),
+            daemon=True,
+        )
+        self._thread.start()
+
     def latest_step(self) -> int | None:
+        self._join()
         return self._mgr.latest_step()
 
     def restore(self, step: int | None, template) -> dict | None:
+        self._join()
         step = self.latest_step() if step is None else step
         if step is None:
             return None
@@ -52,4 +90,5 @@ class CheckpointManager:
         return restored
 
     def close(self) -> None:
+        self._join()
         self._mgr.close()

@@ -88,3 +88,40 @@ def test_checkpoint_restores_shardings_and_resumes(tmp_path, tiny_dataset):
     resumed = [b.run_epoch(ep)[0] for ep in range(start, 4)]
     np.testing.assert_allclose(resumed, ref_losses[2:], rtol=1e-5)
     ckpt.close()
+
+
+def test_background_save_overlaps_and_roundtrips(tmp_path):
+    """Background checkpointing: save() returns before the write lands;
+    a subsequent restore joins the in-flight save and round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypergraph_diffusion_for_recommendation_tpu.utils.checkpoint import (
+        CheckpointManager,
+    )
+
+    params = {"w": jnp.arange(8.0), "b": jnp.ones((3, 5))}
+    opt = {"m": jnp.zeros(8), "v": jnp.zeros(8)}
+    extras = {"att": jnp.full(4, 2.0)}
+    rng = jax.random.PRNGKey(3)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), background=True)
+    mgr.save(0, params, opt, extras, rng)
+    # reads join the pending save
+    assert mgr.latest_step() == 0
+    got = mgr.restore(None, {"params": params, "opt_state": opt,
+                             "extras": extras, "rng": rng})
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]), np.arange(8.0))
+    np.testing.assert_array_equal(np.asarray(got["extras"]["att"]), np.full(4, 2.0))
+    # a second queued save supersedes correctly after join
+    params2 = {"w": jnp.arange(8.0) * 3, "b": jnp.ones((3, 5))}
+    mgr.save(1, params2, opt, extras, rng)
+    mgr.close()
+    mgr2 = CheckpointManager(str(tmp_path / "ck"))
+    assert mgr2.latest_step() == 1
+    got2 = mgr2.restore(None, {"params": params, "opt_state": opt,
+                               "extras": extras, "rng": rng})
+    np.testing.assert_array_equal(np.asarray(got2["params"]["w"]), np.arange(8.0) * 3)
+    mgr2.close()
