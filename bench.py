@@ -51,12 +51,13 @@ def supervise(argv: list[str], deadlines: tuple[float, ...]) -> int:
     import subprocess
 
     child_cmd = [sys.executable, "-u", __file__, "--child", *argv]
+    rc = 124
     for i, deadline in enumerate(deadlines):
         log(f"[bench-supervisor] attempt {i + 1}/{len(deadlines)} "
             f"(deadline {deadline:.0f}s)")
         proc = subprocess.Popen(child_cmd, start_new_session=True)
         try:
-            return proc.wait(timeout=deadline)
+            rc = proc.wait(timeout=deadline)
         except subprocess.TimeoutExpired:
             log(f"[bench-supervisor] attempt {i + 1} exceeded {deadline:.0f}s "
                 f"— killing pgid {proc.pid}")
@@ -65,8 +66,15 @@ def supervise(argv: list[str], deadlines: tuple[float, ...]) -> int:
             except ProcessLookupError:
                 pass
             proc.wait()
-    log("[bench-supervisor] all attempts timed out")
-    return 124
+            rc = 124
+            continue
+        if rc == 0:
+            return 0
+        # Abnormal child death (signal exit, e.g. OOM-killed, shows as
+        # rc < 0; any nonzero rc) gets a fresh attempt like a timeout.
+        log(f"[bench-supervisor] attempt {i + 1} exited rc={rc} — retrying")
+    log(f"[bench-supervisor] all attempts failed (last rc={rc})")
+    return rc
 
 
 def main() -> None:
@@ -90,7 +98,7 @@ def main() -> None:
         if args.no_roofline:
             passthrough.append("--no_roofline")
         d = args.attempt_deadline
-        sys.exit(supervise(passthrough, (d, d * 0.78)))
+        sys.exit(supervise(passthrough, (d, d)))
 
     import jax
 
@@ -160,7 +168,8 @@ def main() -> None:
     t0 = time.time()
     loss, _ = trainer.run_epoch(0)
     jax.block_until_ready(jax.tree.leaves(trainer.params)[0])
-    log(f"warmup epoch (incl. compile): {time.time()-t0:.1f}s loss={loss:.4f}")
+    warmup_s = time.time() - t0
+    log(f"warmup epoch (incl. compile): {warmup_s:.1f}s loss={loss:.4f}")
 
     # timed epochs
     n_timed = 3
@@ -185,6 +194,15 @@ def main() -> None:
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(eps / baseline_eps, 3),
                 "baseline_estimated": True,
+                # Compile-time telemetry (VERDICT r2 #7): the axon
+                # remote-compile service is a latency lottery (24-634 s
+                # observed for byte-identical modules). Expected local
+                # compile is ~25 s; warmup_s far above that with
+                # compile_budget_ok=true still means the lottery, not a
+                # code regression — compare against expected_warmup_s.
+                "warmup_s": round(warmup_s, 1),
+                "expected_warmup_s": 30.0,
+                "compile_budget_ok": warmup_s < args.attempt_deadline * 0.8,
             }
         ),
         flush=True,

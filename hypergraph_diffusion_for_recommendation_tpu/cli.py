@@ -241,9 +241,15 @@ def run(cfg, quiet: bool = False):
             if start_epoch and not quiet:
                 print(f"resumed from epoch {start_epoch}")
 
-    result = trainer.fit(
-        quiet=quiet, artifacts=artifacts, ckpt=ckpt, start_epoch=start_epoch
-    )
+    try:
+        result = trainer.fit(
+            quiet=quiet, artifacts=artifacts, ckpt=ckpt, start_epoch=start_epoch
+        )
+    finally:
+        if ckpt is not None:
+            # Joins the in-flight background save (and surfaces any save
+            # error) before the process can exit and drop it.
+            ckpt.close()
     if cfg.export_embeddings:
         # fit() has reset trainer params to the best epoch's snapshot
         from .eval.serving import export_embeddings

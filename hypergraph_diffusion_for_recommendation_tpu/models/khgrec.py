@@ -387,6 +387,13 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None) 
 
 
 register_model("KHGRec")(_build_khgrec_like("KHGRec"))
+# The reference registry advertises KHGRec_variation1..9 (main.py:100)
+# but ships no model files or conf files for them — they would crash at
+# the exec-import (SELFRec.py:39), like the HGNN name. Register them as
+# aliases of KHGRec so every advertised name resolves here; variation
+# behavior is expressed via --mode / hyperparameters, not separate code.
+for _i in range(1, 10):
+    register_model(f"KHGRec_variation{_i}")(_build_khgrec_like("KHGRec"))
 register_model("HGNN")(_build_khgrec_like("HGNN", use_self_att=True))
 register_model("HD2")(_build_khgrec_like("HD2", use_self_att=True, force_no_ssl=True))
 register_model("HGNNAblation")(_build_khgrec_like("HGNNAblation", hyper_from_mode=True))

@@ -99,6 +99,18 @@ def _jit_hoisted(fn, donate_args: tuple = ()):
             # device-resident once; numpy consts would re-upload per call
             state["consts"] = [jnp.asarray(c) for c in closed.consts]
             state["in_tree"] = in_tree
+            if donate_args:
+                # jnp.asarray is a no-op for device arrays: if a bundle
+                # ever seeds params/extras with the very array object the
+                # loss closes over, donating it would delete the cached
+                # const and every later call would hit 'Array has been
+                # deleted'. Copy any const aliasing a call argument.
+                arg_ids = {id(a) for a in flat}
+                state["consts"] = [
+                    jnp.copy(c) if id(c) in arg_ids else c
+                    for c in state["consts"]
+                ]
+                state["const_ids"] = {id(c) for c in state["consts"]}
             # top-level donated args -> flat leaf positions
             sizes = [len(jax.tree.leaves(a)) for a in args]
             starts = [0]
@@ -124,9 +136,16 @@ def _jit_hoisted(fn, donate_args: tuple = ()):
         else:
             assert in_tree == state["in_tree"], (in_tree, state["in_tree"])
         don, keep = state["don"], state["keep"]
-        return state["fn"](
-            state["consts"], [flat[i] for i in don], [flat[i] for i in keep]
-        )
+        don_leaves = [flat[i] for i in don]
+        if don and state.get("const_ids"):
+            # Same guard for later calls: donating a leaf that IS a
+            # cached const would delete the const. Copy the leaf instead
+            # (loses donation for that one leaf only).
+            don_leaves = [
+                jnp.copy(x) if id(x) in state["const_ids"] else x
+                for x in don_leaves
+            ]
+        return state["fn"](state["consts"], don_leaves, [flat[i] for i in keep])
 
     return call
 

@@ -18,6 +18,7 @@ what the thread is reading.
 
 from __future__ import annotations
 
+import atexit
 import os
 import threading
 from typing import Any
@@ -38,25 +39,36 @@ class CheckpointManager:
         os.makedirs(self.dir, exist_ok=True)
         self.background = background
         self._thread: threading.Thread | None = None
+        self._worker_exc: BaseException | None = None
+        self._closed = False
         self._mgr = ocp.CheckpointManager(
             self.dir, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
         )
+        # The worker is a daemon thread: without this hook an in-flight
+        # final save is killed at interpreter exit and silently lost.
+        self._atexit = atexit.register(self.close)
 
     def _join(self) -> None:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
         self._mgr.wait_until_finished()
+        if self._worker_exc is not None:
+            exc, self._worker_exc = self._worker_exc, None
+            raise RuntimeError("background checkpoint save failed") from exc
 
     def _do_save(self, step: int, params, opt_state, extras, rng) -> None:
-        state = {
-            "params": _to_pure(params),
-            "opt_state": _to_pure(opt_state),
-            "extras": _to_pure(extras),
-            "rng": np.asarray(rng),
-        }
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        try:
+            state = {
+                "params": _to_pure(params),
+                "opt_state": _to_pure(opt_state),
+                "extras": _to_pure(extras),
+                "rng": np.asarray(rng),
+            }
+            self._mgr.save(step, args=ocp.args.StandardSave(state))
+            self._mgr.wait_until_finished()
+        except BaseException as e:  # re-raised on the next _join()
+            self._worker_exc = e
 
     def save(self, step: int, params, opt_state, extras, rng) -> None:
         """Queue (background) or perform (foreground) one save.
@@ -90,5 +102,11 @@ class CheckpointManager:
         return restored
 
     def close(self) -> None:
-        self._join()
-        self._mgr.close()
+        if self._closed:
+            return
+        self._closed = True
+        atexit.unregister(self._atexit)
+        try:
+            self._join()
+        finally:
+            self._mgr.close()

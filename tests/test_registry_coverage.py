@@ -18,7 +18,7 @@ REFERENCE_CLASSES = ["HGNN"]
 REFERENCE_REGISTRY_ONLY = [
     "MF", "DirectAU", "SASRec", "CL4SRec", "SGL", "SimGCL", "SEPT", "MHCN",
     "SSL4Rec", "XSimGCL", "NCL", "MixGCF", "HKGRippleNet", "BUIR", "SelfCF",
-]
+] + [f"KHGRec_variation{i}" for i in range(1, 10)]  # main.py:100, no files upstream
 # notebook-only models (root *.ipynb)
 REFERENCE_NOTEBOOKS = ["KGIN", "KGCL", "KTUP"]
 

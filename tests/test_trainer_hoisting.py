@@ -85,3 +85,55 @@ def test_hoisted_donation_aliases_state_and_invalidates_input():
     new2, s2 = h(new_state, batch)
     np.testing.assert_allclose(float(s2), 9.0 * 16)
     np.testing.assert_allclose(np.asarray(new2["w"]), np.full(16, 17.0))
+
+
+def test_hoisted_donation_guards_const_aliasing():
+    """ADVICE r2: a donated state leaf that IS the closed-over const
+    array must not delete the cached const (jnp.asarray is a no-op for
+    device arrays). Both first-call and later-call aliasing are guarded."""
+    from hypergraph_diffusion_for_recommendation_tpu.train.trainer import _DONATE
+
+    if not _DONATE:
+        return
+
+    shared = jnp.arange(16, dtype=jnp.float32)
+
+    def step(state, batch):
+        # closes over `shared` AND receives it as the donated state leaf
+        return {"w": state["w"] + shared[0] + jnp.sum(batch)}, jnp.sum(state["w"])
+
+    h = _jit_hoisted(step, donate_args=(0,))
+    batch = jnp.full(4, 1.0)
+    # first call: state leaf IS the closure const
+    new_state, s = h({"w": shared}, batch)
+    np.testing.assert_allclose(float(s), float(np.arange(16).sum()))
+    # const survived the donation -> later calls still work
+    new2, s2 = h(new_state, batch)
+    np.testing.assert_allclose(
+        np.asarray(new2["w"]), np.arange(16, dtype=np.float32) + 8.0
+    )
+
+
+def test_background_checkpoint_save_error_propagates(tmp_path):
+    """ADVICE r2 (medium): an exception inside the background save worker
+    must surface on the next join/save/close, not be swallowed."""
+    from hypergraph_diffusion_for_recommendation_tpu.utils.checkpoint import (
+        CheckpointManager,
+    )
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"), background=True)
+    # np.asarray raises on this object inside the worker thread
+    class Boom:
+        def __array__(self):
+            raise ValueError("boom")
+
+    ckpt.save(0, {"w": Boom()}, {}, {}, np.zeros(2, np.uint32))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="background checkpoint save failed"):
+        ckpt.latest_step()
+    # manager remains usable and closes cleanly after the error
+    ckpt.save(1, {"w": np.ones(2)}, {}, {}, np.zeros(2, np.uint32))
+    assert ckpt.latest_step() == 1
+    ckpt.close()
+    ckpt.close()  # idempotent
