@@ -1,0 +1,141 @@
+"""Run the REFERENCE (`/root/reference/HD_SELFRec`) on CPU in this env.
+
+The reference targets torch 1.10 + CUDA + numba; this environment has
+torch CPU-only and no numba. Three shims make it runnable unmodified
+(VERDICT r2 #1 — rebuild-vs-reference parity requires the reference's
+own numbers on shared data):
+
+  1. numba shim — `util/algorithm.py:3` is the only numba use; a no-op
+     `@jit` keeps `find_k_largest` as plain Python.
+  2. CUDA shim — `.cuda()` on tensors/modules returns self;
+     `torch.cuda.manual_seed*` become no-ops (models call them while
+     seeding, e.g. KHGRec.py:77-88).
+  3. Seeding — the reference's CF baselines (LightGCN.py, HCCF.py,
+     SGL.py, SHT.py, MF) never seed torch/np/random themselves, so runs
+     would be irreproducible; we seed all three from --seed before
+     main.py executes (the same flag the rebuild consumes).
+
+Usage (cwd must be the parity sandbox, which symlinks the reference
+code and holds the shared dataset):
+
+    python /root/repo/scripts/parity_ref_runner.py --model=LightGCN \
+        --dataset=lastfm --max_epoch 60 --seed 1 [reference main.py flags]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import runpy
+import sys
+import types
+import warnings
+
+
+def install_numba_shim() -> None:
+    numba = types.ModuleType("numba")
+
+    def jit(*args, **kwargs):
+        if args and callable(args[0]):
+            return args[0]
+
+        def deco(fn):
+            return fn
+
+        return deco
+
+    numba.jit = jit
+    numba.njit = jit
+    sys.modules["numba"] = numba
+
+
+def install_graphlib_shims() -> None:
+    """Pure-torch stand-ins for the reference's native graph deps.
+
+    The HD family imports torch_scatter / torch_sparse / dgl
+    (requirements.txt: torch-scatter, torch-sparse==0.6.10, dgl), none of
+    which exist in this env. Only three call forms are ever used
+    (grep over model/: scatter(src, index, dim=-2, reduce, dim_size);
+    spmm(index, value, m, n, X); spspmm) and dgl is import-time only
+    (TransformerLayer.py:5 — the class is unused in the main path)."""
+    import torch
+
+    ts = types.ModuleType("torch_scatter")
+
+    def scatter(src, index, dim=-2, out=None, dim_size=None, reduce="sum"):
+        dim = dim % src.dim()
+        n = int(dim_size) if dim_size is not None else int(index.max()) + 1
+        shape = list(src.shape)
+        shape[dim] = n
+        idx = index.view([-1 if d == dim else 1 for d in range(src.dim())]).expand_as(src)
+        red = {"sum": "sum", "add": "sum", "mean": "mean",
+               "max": "amax", "amax": "amax", "min": "amin"}[reduce]
+        out_t = torch.zeros(shape, dtype=src.dtype, device=src.device)
+        return out_t.scatter_reduce(dim, idx, src, reduce=red, include_self=False)
+
+    ts.scatter = scatter
+    sys.modules["torch_scatter"] = ts
+
+    tsp = types.ModuleType("torch_sparse")
+
+    def spmm(index, value, m, n, matrix):
+        A = torch.sparse_coo_tensor(index, value, (m, n))
+        return torch.sparse.mm(A, matrix)
+
+    def spspmm(indexA, valueA, indexB, valueB, m, k, n, coalesced=False):
+        A = torch.sparse_coo_tensor(indexA, valueA, (m, k))
+        B = torch.sparse_coo_tensor(indexB, valueB, (k, n))
+        C = torch.sparse.mm(A, B).coalesce()
+        return C.indices(), C.values()
+
+    tsp.spmm = spmm
+    tsp.spspmm = spspmm
+    sys.modules["torch_sparse"] = tsp
+
+    dgl = types.ModuleType("dgl")
+    dgl.function = types.ModuleType("dgl.function")
+    sys.modules["dgl"] = dgl
+    sys.modules["dgl.function"] = dgl.function
+
+
+def install_cuda_shim() -> None:
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.cuda.manual_seed = lambda *a, **k: None
+    torch.cuda.manual_seed_all = lambda *a, **k: None
+    torch.cuda.set_device = lambda *a, **k: None
+    # models pick 'cuda:0' via torch.cuda.is_available() fallbacks; on
+    # CPU-only torch it is already False — nothing to patch there.
+    warnings.filterwarnings("ignore")  # legacy torch.sparse.FloatTensor etc.
+
+
+def seed_everything(seed: int) -> None:
+    import numpy as np
+    import torch
+
+    random.seed(seed)
+    np.random.seed(seed)
+    torch.manual_seed(seed)
+
+
+def main() -> None:
+    seed = 60
+    for i, a in enumerate(sys.argv):
+        if a.startswith("--seed="):
+            seed = int(a.split("=", 1)[1])
+        elif a == "--seed" and i + 1 < len(sys.argv):
+            seed = int(sys.argv[i + 1])
+
+    sys.path.insert(0, os.getcwd())
+    install_numba_shim()
+    install_graphlib_shims()
+    install_cuda_shim()
+    seed_everything(seed)
+    sys.argv = ["main.py"] + sys.argv[1:]
+    runpy.run_path("main.py", run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()
