@@ -144,7 +144,7 @@ def run_reference(model: str, seed: int, max_epoch: int, early_stop: int,
                   log_dir: str) -> dict | None:
     argv = [sys.executable, os.path.join(ROOT, "scripts", "parity_ref_runner.py"),
             f"--model={model}", f"--seed={seed}", f"--max_epoch={max_epoch}",
-            f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS[model]]
+            f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS.get(model, [])]
     t0 = time.time()
     proc = subprocess.run(
         argv, cwd=SANDBOX, capture_output=True, text=True,
@@ -171,7 +171,7 @@ def run_rebuild(model: str, seed: int, max_epoch: int, early_stop: int) -> dict 
     from hypergraph_diffusion_for_recommendation_tpu import cli
 
     argv = [f"--model={model}", f"--seed={seed}", f"--max_epoch={max_epoch}",
-            f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS[model],
+            f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS.get(model, []),
             "--data_dir", os.path.join(SANDBOX, "dataset"),
             "--output_dir", os.path.join(OUT_DIR, "rebuild_results"),
             "--item_ranking", "10,20,40", "--quiet"]
