@@ -25,6 +25,131 @@ def _item_clusters(n_items: int, n_clusters: int, cluster_seed: int) -> np.ndarr
     return np.random.default_rng(abs(cluster_seed) + 1000).integers(0, n_clusters, n_items)
 
 
+def _latent_prelude(n_users, n_items, n_clusters, mean_degree, seed,
+                    cluster_seed, pop_scale, hierarchy, min_degree):
+    """The generator's latent state, in the EXACT rng call order of the
+    historical `generate_interactions` prelude (streams stay bit-for-bit
+    identical). Shared with `oracle_metrics` so the Bayes-optimal scorer
+    sees the same popularity/cluster latents the data was drawn from."""
+    rng = np.random.default_rng(seed)
+    if hierarchy is not None:
+        n_coarse, n_fine_per = hierarchy
+        n_clusters = n_coarse * n_fine_per
+    item_cluster = _item_clusters(n_items, n_clusters, seed if cluster_seed is None else cluster_seed)
+    item_pop = rng.zipf(1.5, n_items).astype(np.float64)
+    item_pop = np.clip(item_pop, 1, 50)
+    if pop_scale is not None:
+        item_pop = item_pop * np.asarray(pop_scale, np.float64)
+
+    user_main = rng.integers(0, n_clusters, n_users)
+    user_second = rng.integers(0, n_clusters, n_users)
+
+    degrees = np.clip(
+        rng.lognormal(np.log(mean_degree), 0.6, n_users), min_degree, n_items // 4
+    ).astype(int)
+    return rng, n_clusters, item_cluster, item_pop, user_main, user_second, degrees
+
+
+def oracle_metrics(
+    train: np.ndarray,
+    test: np.ndarray,
+    n_users: int,
+    n_items: int,
+    n_clusters: int = 16,
+    mean_degree: float = 45.0,
+    seed: int = 7,
+    k: int = 20,
+    affinity: float = 8.0,
+    cluster_seed: int | None = None,
+    pop_scale: np.ndarray | None = None,
+    hierarchy: tuple[int, int] | None = None,
+    sibling_affinity: float | None = None,
+    min_degree: int = 5,
+    user_id_offset: int | None = None,
+    block: int = 256,
+) -> dict:
+    """EMPIRICAL oracle ceiling for the planted-structure task.
+
+    Scores every (user, item) by the exact generative draw weight
+    w = pop x (1 + affinity terms) — the Bayes-optimal ranking for data
+    drawn (without replacement) from p ∝ w — masks train-rated items,
+    takes top-k, and returns recall/ndcg@k over the test users with the
+    framework's formulas (recall = mean_u |hits|/|test_u|; IDCG over
+    min(|test_u|, k) — eval/metrics.py parity). Also returns the
+    popularity-only oracle (clusters ignored) as a baseline.
+
+    Call with the SAME generator kwargs as the dataset; pass
+    `cluster_seed=seed` when the data came through `synthetic_dataset`
+    (it forwards cluster_seed=seed, synthetic.py:180-184).
+    """
+    _, n_clusters, item_cluster, item_pop, user_main, user_second, _ = (
+        _latent_prelude(n_users, n_items, n_clusters, mean_degree, seed,
+                        cluster_seed, pop_scale, hierarchy, min_degree)
+    )
+    if user_id_offset is None:
+        user_id_offset = int(min(train[:, 0].min(), test[:, 0].min()))
+    tr_u = train[:, 0] - user_id_offset
+    tr_i = train[:, 1]
+    te_u = test[:, 0] - user_id_offset
+    te_i = test[:, 1]
+
+    if hierarchy is not None:
+        n_coarse, n_fine_per = hierarchy
+        sib = affinity / 2.0 if sibling_affinity is None else sibling_affinity
+        item_coarse = item_cluster // n_fine_per
+        boost = np.zeros((n_users, n_items))
+        for u in range(n_users):
+            fine = user_main[u]
+            boost[u] = affinity * (item_cluster == fine) + sib * (
+                (item_coarse == fine // n_fine_per) & (item_cluster != fine)
+            )
+    else:
+        # [n_users, n_items] via cluster one-hots — no python loop
+        boost = (
+            affinity * (item_cluster[None, :] == user_main[:, None])
+            + 0.5 * affinity * (item_cluster[None, :] == user_second[:, None])
+        )
+
+    test_users = np.unique(te_u)
+    # per-user test / train sets as CSR-ish dicts of arrays
+    order = np.argsort(te_u, kind="stable")
+    te_sorted_u, te_sorted_i = te_u[order], te_i[order]
+    starts = np.searchsorted(te_sorted_u, test_users)
+    ends = np.searchsorted(te_sorted_u, test_users, side="right")
+
+    disc = 1.0 / np.log2(np.arange(2, k + 2))
+    recalls, ndcgs, recalls_pop, ndcgs_pop = [], [], [], []
+    for b0 in range(0, len(test_users), block):
+        users = test_users[b0:b0 + block]
+        w = item_pop[None, :] * (1.0 + boost[users])
+        w_pop = np.broadcast_to(item_pop, (len(users), n_items)).copy()
+        for row, u in enumerate(users):
+            rated = tr_i[tr_u == u]
+            w[row, rated] = -np.inf
+            w_pop[row, rated] = -np.inf
+        for w_mat, rec_list, ndcg_list in ((w, recalls, ndcgs),
+                                           (w_pop, recalls_pop, ndcgs_pop)):
+            top = np.argpartition(-w_mat, k, axis=1)[:, :k]
+            # order the k by score for DCG positions
+            row_scores = np.take_along_axis(w_mat, top, axis=1)
+            top = np.take_along_axis(top, np.argsort(-row_scores, axis=1), axis=1)
+            for row, u in enumerate(users):
+                i0, i1 = starts[b0 + row], ends[b0 + row]
+                tset = set(te_sorted_i[i0:i1].tolist())
+                hits = np.fromiter((t in tset for t in top[row]), bool, k)
+                rec_list.append(hits.sum() / max(len(tset), 1))
+                idcg = disc[: min(len(tset), k)].sum()
+                ndcg_list.append((disc * hits).sum() / idcg if idcg > 0 else 0.0)
+    return {
+        "recall": float(np.mean(recalls)),
+        "ndcg": float(np.mean(ndcgs)),
+        "recall_pop": float(np.mean(recalls_pop)),
+        "ndcg_pop": float(np.mean(ndcgs_pop)),
+        "n_test_users": int(len(test_users)),
+        "k": k,
+    }
+
+
 def generate_interactions(
     n_users: int = 1890,
     n_items: int = 4000,
@@ -56,22 +181,11 @@ def generate_interactions(
     the flat regime where 1-hop co-occurrence already carries the
     signal.
     """
-    rng = np.random.default_rng(seed)
-    if hierarchy is not None:
-        n_coarse, n_fine_per = hierarchy
-        n_clusters = n_coarse * n_fine_per
-    item_cluster = _item_clusters(n_items, n_clusters, seed if cluster_seed is None else cluster_seed)
-    item_pop = rng.zipf(1.5, n_items).astype(np.float64)
-    item_pop = np.clip(item_pop, 1, 50)
-    if pop_scale is not None:
-        item_pop = item_pop * np.asarray(pop_scale, np.float64)
-
-    user_main = rng.integers(0, n_clusters, n_users)
-    user_second = rng.integers(0, n_clusters, n_users)
-
-    degrees = np.clip(
-        rng.lognormal(np.log(mean_degree), 0.6, n_users), min_degree, n_items // 4
-    ).astype(int)
+    (rng, n_clusters, item_cluster, item_pop, user_main, user_second,
+     degrees) = _latent_prelude(
+        n_users, n_items, n_clusters, mean_degree, seed, cluster_seed,
+        pop_scale, hierarchy, min_degree,
+    )
 
     if user_id_offset is None:
         user_id_offset = n_items
