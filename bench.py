@@ -227,30 +227,9 @@ def main() -> None:
         f"train+eval-every-epoch {3600.0 / (epoch_s + t_eval):,.0f}"
     )
 
-    # ---- sync vs async (one-epoch-lagged) eval overlap demo
-    if not args.no_async_demo:
-        n_d = 3
-        t0 = time.time()
-        for ep in range(n_d):
-            trainer.run_epoch(ep)
-            dev_m = trainer._eval_fn(trainer.params, trainer.extras)
-            jax.block_until_ready(dev_m)  # sync: block on eval each epoch
-        t_sync = time.time() - t0
-        t0 = time.time()
-        pending = None
-        for ep in range(n_d):
-            trainer.run_epoch(ep)
-            dev_m = trainer._eval_fn(trainer.params, trainer.extras)
-            if pending is not None:
-                jax.block_until_ready(pending)  # previous epoch's metrics
-            pending = dev_m
-        jax.block_until_ready(pending)
-        t_async = time.time() - t0
-        log(
-            f"eval overlap: {n_d} epochs+evals sync {t_sync:.2f}s, "
-            f"async (one-epoch lag) {t_async:.2f}s "
-            f"({(t_sync - t_async) / t_sync * 100:.0f}% hidden)"
-        )
+    # (the sync-vs-async eval overlap demo was removed with the async_eval
+    # machinery: one device queue serialises train+eval — measured 0%
+    # hidden here and -4% on the virtual mesh, scripts/eval_overlap_mesh.py)
 
     # ---- roofline: XLA-reported flops/bytes of the compiled train step
     # against the chip's matmul + HBM roofs (VERDICT r1 #3)

@@ -73,9 +73,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--kg_print_every", type=int, default=1, help="ignored (per-epoch logging)")
     # TPU-native additions
     p.add_argument("--async_eval", action="store_true",
-                   help="one-epoch-lagged eval materialisation (overlaps the "
-                        "eval sync with the next train epoch; early stopping "
-                        "sees each recall one epoch late)")
+                   help="accepted for compatibility; a no-op since the "
+                        "one-epoch-lag machinery was measured to hide 0% "
+                        "(train and eval share one device queue)")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--shard_graph", type=str, default="auto",
@@ -111,8 +111,6 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         v = getattr(args, key)
         if v is not None:
             overrides[key] = v
-    if args.async_eval:
-        overrides["async_eval"] = True
     if args.export_embeddings:
         overrides["export_embeddings"] = True
     overrides["item_ranking"] = tuple(int(x) for x in args.item_ranking.split(","))

@@ -87,15 +87,9 @@ class Config:
     shard_graph: str = "auto"  # auto | on | off
     eval_user_batch: int = 512  # users scored per eval block
     pad_multiple: int = 8  # pad nnz/rows to multiples of this
-    # async (one-epoch-lagged) eval: dispatch each epoch's eval without
-    # syncing and read its metrics only after the NEXT epoch has run, so
-    # the host->device round trip (expensive over a remote tunnel, and
-    # the full-catalog scorer at production scale) overlaps with the
-    # next train epoch. Metric VALUES, the best-model vote, and the
-    # recorded history are identical to the sync path; the only
-    # behavioural difference is that early stopping sees each recall one
-    # epoch late (at most one extra trained epoch).
-    async_eval: bool = False
+    # (a one-epoch-lagged `async_eval` option was removed after
+    # measurement: a TPU chip's single compute stream serialises
+    # train+eval, 0% hidden on the real chip — scripts/eval_overlap_mesh.py)
 
     # --- artifacts ---
     output_dir: str = "./results"

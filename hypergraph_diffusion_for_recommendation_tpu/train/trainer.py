@@ -1005,30 +1005,33 @@ class Trainer:
                 log_fn(f"early stop at epoch {ep+1}")
             return should_stop
 
-        # async mode: at most one epoch's eval in flight (one-epoch lag)
-        pending = None
+        # NOTE: a one-epoch-lagged "async eval" mode used to live here
+        # (dispatch eval, materialise its metrics one epoch later). It was
+        # removed after measurement (VERDICT r2 #5): a TPU chip has one
+        # serial compute stream, so train+eval device work serialises and
+        # the lag hid 0% on the real chip (BENCH_r02; reproduce with
+        # scripts/eval_overlap_mesh.py --real_chip) while complicating
+        # early stopping and best-model tracking. (The CPU backend shows
+        # apparent overlap because it runs dispatched programs
+        # concurrently on the host thread pool — not TPU behaviour.)
         for ep in range(start_epoch, max_epoch):
             t0 = time.time()
             loss, aux = self.run_epoch(ep)
-            if not cfg.async_eval:
-                jax.block_until_ready(jax.tree.leaves(self.params)[0])
+            jax.block_until_ready(jax.tree.leaves(self.params)[0])
             t1 = time.time()
             examples += self.n_batches * cfg.batch_size
             train_time_total += t1 - t0
 
-            do_eval = ep % max(cfg.evaluate_every, 1) == 0 or (
-                last_metrics is None and pending is None
-            )
+            do_eval = ep % max(cfg.evaluate_every, 1) == 0 or last_metrics is None
             dev_metrics = self._eval_fn(self.params, self.extras) if do_eval else None
             # device copy: the live (params, extras) buffers are DONATED
             # to the next epoch's dispatch, so the best-model snapshot
-            # (and the one-epoch-lagged async finalize) needs its own
+            # needs its own
             snap = (
                 _device_copy((self.params, self.extras))
                 if _DONATE
                 else (self.params, self.extras)
             )
-            t2 = time.time()
 
             if self.bundle.alternating:
                 # per-phase schedulers on per-phase losses (KGAT.py:68-69,140-141)
@@ -1046,22 +1049,10 @@ class Trainer:
                 st = _device_copy(st) if (_DONATE and ckpt.background) else st
                 ckpt.save(ep, *st, self.rng)
 
-            if cfg.async_eval:
-                # materialize the PREVIOUS epoch's metrics while this
-                # epoch's eval rides the device queue behind its train scan
-                cur = (ep, loss, aux, dev_metrics, snap, t1 - t0, t2 - t1)
-                if pending is not None and finalize(*pending):
-                    finalize(*cur)  # this epoch already trained; record it
-                    pending = None
-                    break
-                pending = cur
-            else:
-                if dev_metrics is not None:
-                    jax.block_until_ready(dev_metrics)
-                if finalize(ep, loss, aux, dev_metrics, snap, t1 - t0, time.time() - t1):
-                    break
-        if pending is not None:
-            finalize(*pending)
+            if dev_metrics is not None:
+                jax.block_until_ready(dev_metrics)
+            if finalize(ep, loss, aux, dev_metrics, snap, t1 - t0, time.time() - t1):
+                break
 
         # final test with best params (reference: user_emb <- best_user_emb
         # then test(), base/main_recommender.py:179-181)

@@ -111,29 +111,12 @@ def test_profile_epoch_writes_trace(tiny_dataset, tmp_path):
     assert glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True), "no trace written"
 
 
-def test_async_eval_matches_sync(tiny_dataset):
-    """async_eval (one-epoch-lagged metric materialisation) must produce
-    the identical metric history, best epoch and best metrics — only the
-    sync points move."""
-    sync = _fit("MF", tiny_dataset, epochs=8, lrate=0.05)
-    asyn = _fit("MF", tiny_dataset, epochs=8, lrate=0.05, async_eval=True)
-    assert len(sync.history) == len(asyn.history)
-    for rs, ra in zip(sync.history, asyn.history):
-        assert rs.epoch == ra.epoch
-        for n in rs.metrics:
-            for k in rs.metrics[n]:
-                np.testing.assert_allclose(
-                    rs.metrics[n][k], ra.metrics[n][k], rtol=1e-6
-                )
-    assert sync.best_epoch == asyn.best_epoch
-    assert sync.best_metrics == asyn.best_metrics
-
-
-def test_async_eval_cadence(tiny_dataset):
-    """evaluate_every > 1 under async mode reuses the previous metrics on
-    the skipped epochs (reference main.py:92-93 cadence)."""
-    res = _fit("MF", tiny_dataset, epochs=6, lrate=0.05, async_eval=True,
-               evaluate_every=3)
+def test_evaluate_every_cadence(tiny_dataset):
+    """evaluate_every > 1 reuses the previous metrics on the skipped
+    epochs (reference main.py:92-93 cadence). (The async_eval mode this
+    cadence used to interact with was removed — measured 0% overlap,
+    scripts/eval_overlap_mesh.py.)"""
+    res = _fit("MF", tiny_dataset, epochs=6, lrate=0.05, evaluate_every=3)
     h = res.history
     assert len(h) == 6
     assert h[0].metrics == h[1].metrics == h[2].metrics
