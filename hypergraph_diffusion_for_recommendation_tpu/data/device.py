@@ -135,8 +135,9 @@ def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals, canon_map=None)
     blocked = pack(
         h_rows, h_cols, h_vals, sp.shape, bf16=PALLAS_BF16, canon_map=canon_map
     )
-    # HGDR_INT8=1: quantised gathered operand (see BlockedCOO.int8)
-    if os.environ.get("HGDR_INT8") == "1" and blocked.ucols is None:
+    # HGDR_INT8=1: quantised gathered operand (see BlockedCOO.int8);
+    # composes with HGDR_DEDUP (combined dedup+int8 kernel)
+    if os.environ.get("HGDR_INT8") == "1":
         blocked = blocked.replace(int8=True)
     return sp.replace(blocked=blocked)
 

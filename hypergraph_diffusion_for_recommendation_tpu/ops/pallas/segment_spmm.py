@@ -472,6 +472,48 @@ def _segment_matmul_dedup_kernel(
         out_ref[0] = out_ref[0] + partial_out
 
 
+def _segment_matmul_dedup_int8_kernel(
+    wmap_ref, lrows_ref, vals_ref, lcols_ref, scale_ref, g_ref, out_ref,
+    *, eb, rb, ub
+):
+    """Combined layout (VERDICT r2 #3): the dedup two-one-hot contraction
+    over int8-quantised distinct rows — the gather stream shrinks BOTH by
+    deduplication (ub distinct rows instead of eb per block) and by dtype
+    (1 byte/element); dequant rides the output tile like the int8 kernel."""
+    b = pl.program_id(0)
+    lrows = _pick_row(lrows_ref, b)  # [1, eb]
+    vals = _pick_row(vals_ref, b)  # [1, eb]
+    lcols = _pick_row(lcols_ref, b)  # [1, eb] in [0, ub); pad = ub
+    scale = scale_ref[...]  # [1, d]
+    g = g_ref[0].astype(jnp.bfloat16)  # [ub, d] int8 -> bf16 in VMEM
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (ub, eb), 0)
+    onehot_c = (lcols == col_ids).astype(jnp.bfloat16)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rb, eb), 0)
+    onehot_r = (lrows == row_ids).astype(jnp.bfloat16) * vals.astype(jnp.bfloat16)
+    w = jax.lax.dot_general(
+        onehot_r, onehot_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(jnp.bfloat16)  # [rb, ub]
+    partial_out = jax.lax.dot_general(
+        w, g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * scale.astype(jnp.float32)
+
+    is_first = b == 0
+    prev_idx = jnp.maximum(b - 1, 0)
+    new_window = jnp.logical_or(is_first, wmap_ref[b] != wmap_ref[prev_idx])
+
+    @pl.when(new_window)
+    def _():
+        out_ref[0] = partial_out
+
+    @pl.when(jnp.logical_not(new_window))
+    def _():
+        out_ref[0] = out_ref[0] + partial_out
+
+
 def _is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -520,6 +562,34 @@ def _blocked_spmm_fwd_only(
     vblk = v.reshape(nb, eb).astype(jnp.float32)
     lrows = blocked.local_rows
     idx_pair = lambda b, wmap: (b // 8, 0)
+
+    if blocked.int8 and blocked.ucols is not None:
+        # combined dedup + int8 layout: distinct-col gather of quantised rows
+        ub = blocked.ub
+        s = jnp.max(jnp.abs(x), axis=0) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        xq = jnp.clip(jnp.round(x / s[None, :]), -127, 127).astype(jnp.int8)
+        gathered = xq[blocked.ucols.reshape(-1)].reshape(nb, ub, d)
+        scale = s.reshape(1, d).astype(jnp.float32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((8, eb), idx_pair),
+                pl.BlockSpec((8, eb), idx_pair),
+                pl.BlockSpec((8, eb), idx_pair),
+                pl.BlockSpec((1, d), lambda b, wmap: (0, 0)),
+                pl.BlockSpec((1, ub, d), lambda b, wmap: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, rb, d), lambda b, wmap: (wmap[b], 0, 0)),
+        )
+        out = pl.pallas_call(
+            partial(_segment_matmul_dedup_int8_kernel, eb=eb, rb=rb, ub=ub),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((blocked.n_windows, rb, d), jnp.float32),
+            interpret=interpret,
+        )(blocked.wmap, lrows, vblk, blocked.local_cols, scale, gathered)
+        return out.reshape(-1, d)[: blocked.nrows].astype(x.dtype)
 
     if blocked.int8:
         # per-column symmetric quantisation; dequant rides the out tile

@@ -272,3 +272,37 @@ def test_int8_spmm_close_to_exact(rng):
     got = np.asarray(blocked_spmm(blocked8, jnp.asarray(x), interpret=True))
     denom = np.abs(want).max()
     assert np.abs(got - want).max() / denom < 0.02, np.abs(got - want).max() / denom
+
+
+def test_dedup_int8_spmm_close_to_exact(rng):
+    """Combined dedup + int8 layout (VERDICT r2 #3): distinct-col gather
+    of quantised rows — same ~1% error budget as plain int8."""
+    import dataclasses
+
+    import jax
+    from hypergraph_diffusion_for_recommendation_tpu.ops.pallas.segment_spmm import (
+        pack_blocked_dedup,
+    )
+
+    mat = _random_csr(rng, 600, 800, 0.02)
+    # a hot column so blocks actually deduplicate
+    mat[:, 13] = 1.0
+    mat = mat.tocsr()
+    coo = mat.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    blocked = pack_blocked_dedup(
+        coo.row[order], coo.col[order], coo.data[order], mat.shape
+    )
+    assert blocked.ucols is not None
+    blocked8 = dataclasses.replace(blocked, int8=True)
+    x = rng.standard_normal((800, 64)).astype(np.float32)
+    want = mat @ x
+    got = np.asarray(blocked_spmm(blocked8, jnp.asarray(x), interpret=True))
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.02, np.abs(got - want).max() / denom
+    # grads still flow through the exact XLA backward
+    gx = jax.grad(lambda xx: jnp.sum(blocked_spmm(blocked8, xx, interpret=True)))(
+        jnp.asarray(x)
+    )
+    ref_gx = np.asarray(mat.T @ np.ones((600, 64), np.float32))
+    np.testing.assert_allclose(np.asarray(gx), ref_gx, rtol=3e-4, atol=3e-4)
