@@ -43,20 +43,37 @@ DATASET = dict(n_users=800, n_items=600, n_clusters=8, mean_degree=30.0,
                seed=11, with_kg=True)
 
 # Flags passed IDENTICALLY to reference main.py and the rebuild CLI.
-# Everything not listed falls back to each side's per-model defaults,
-# which mirror the same conf files (core/config.py MODEL_DEFAULTS vs
-# conf/*.conf) — deltas in the table would expose any divergence.
+# Every knob the two sides would otherwise default DIFFERENTLY is pinned
+# explicitly, because the reference's effective defaults are a
+# conf/kwargs duality (SURVEY 2.10: models read most knobs from the
+# argparse kwargs, whose defaults — temp=10, hyper_dim=32, reg=0.01 —
+# disagree with the conf files that MODEL_DEFAULTS mirrors). Both sides
+# honor all of these flags, so the table compares IMPLEMENTATIONS under
+# one effective config, not two default sets. HCCF's temp/hyper.size/
+# dropout/leaky come from its conf file on the reference side
+# (HCCF.py:52-55); the pins below equal those conf values.
 COMMON = ["--dataset=lastfm", "--batch_size=2048", "--lrate=0.001"]
 MODEL_FLAGS: dict[str, list[str]] = {
-    "LightGCN": [],
-    "HCCF": [],
-    "SGL": [],
-    "SHT": [],
-    "DHCF": [],
-    "KGAT": ["--batch_size_kg=4096"],
-    "KHGRec": ["--batch_size_kg=4096"],
-    "HGNN": ["--batch_size_kg=4096"],
-    "HGNN_HD3": [],
+    "LightGCN": ["--reg=0.1", "--weight_decay=5e-6"],
+    "HCCF": ["--reg=0.01", "--n_layers=2", "--hyper_dim=128",
+             "--drop_rate=0.3", "--p=0.5", "--temp=1.0", "--cl_rate=0.01"],
+    # the reference hard-codes aug_type=0 whatever the flag says (SGL.py:50)
+    "SGL": ["--reg=0.1", "--cl_rate=0.01", "--temp=0.2", "--drop_rate=0.1",
+            "--aug_type=0"],
+    "SHT": ["--reg=0.01", "--hyper_dim=128", "--hyperedge_num=128",
+            "--cl_rate=0.001", "--temp=0.2", "--drop_rate=0.2"],
+    "DHCF": ["--reg=0.01", "--n_layers=2"],
+    "KGAT": ["--batch_size_kg=4096", "--reg=0.01", "--reg_kg=0.01"],
+    "KHGRec": ["--batch_size_kg=4096", "--hyper_dim=64", "--relation_dim=32",
+               "--temp=1.0", "--cl_rate=0.01", "--drop_rate=0.2", "--p=0.3",
+               "--reg=0.01", "--reg_kg=0.01", "--n_layers=2"],
+    "HGNN": ["--batch_size_kg=4096", "--hyper_dim=64", "--relation_dim=32",
+             "--temp=1.0", "--cl_rate=0.01", "--drop_rate=0.2", "--p=0.3",
+             "--reg=0.01", "--reg_kg=0.01", "--n_layers=2"],
+    "HGNN_HD3": ["--hyper_dim=64", "--cl_rate=1e-5", "--temp=0.2",
+                 "--drop_rate=0.2", "--p=0.3", "--reg=0.1",
+                 "--weight_decay=5e-6"],
+    "MF": ["--reg=0.1"],
 }
 
 # Models that cannot run on the reference side, with the exact blocker —
