@@ -304,13 +304,15 @@ def main() -> None:
             mean_degree=49.0, seed=7, cluster_seed=7, k=20,
         )
         r20 = m[20]["recall"]
+        post = orc.get("recall_posterior", orc["recall"])
         log(
             f"converged after +{args.epochs} epochs ({time.time()-t0:.1f}s): "
             f"loss {loss:.4f} metrics@20 {m[20]} — recall {r20:.4f} = "
             f"{r20 / chance:.1f}x chance ({chance:.5f}), "
-            f"{r20 / orc['recall'] * 100:.0f}% of the empirical Bayes-oracle "
-            f"ceiling {orc['recall']:.4f} (popularity-only oracle "
-            f"{orc['recall_pop']:.4f} = {orc['recall_pop'] / orc['recall'] * 100:.0f}%)"
+            f"{r20 / post * 100:.0f}% of the ATTAINABLE (posterior-predictive"
+            f"-given-train) Bayes ceiling {post:.4f} "
+            f"[full-latent oracle {orc['recall']:.4f}, popularity-only "
+            f"{orc['recall_pop']:.4f}]"
         )
 
 

@@ -110,6 +110,42 @@ def oracle_metrics(
             + 0.5 * affinity * (item_cluster[None, :] == user_second[:, None])
         )
 
+    # ---- posterior-predictive ceiling (the ATTAINABLE one): the
+    # full-latent oracle above knows each user's (main, second) clusters,
+    # which no learner can — it only sees the train draws. The Bayes-
+    # optimal scorer GIVEN ONLY TRAIN DATA posterior-weights the
+    # (main, second) pair from the user's train cluster counts under the
+    # true generative model, then scores by the posterior-mean draw
+    # weight. (Approximation: ranks by posterior-mean w rather than the
+    # exact without-replacement successive-draw probability; the
+    # difference only reorders items with near-equal w.)
+    if hierarchy is None:
+        counts = np.zeros((n_users, n_clusters))
+        np.add.at(counts, (tr_u, item_cluster[tr_i]), 1.0)
+        # per-(m,s): per-cluster log draw weight and normaliser Z(m,s)
+        pop_per_c = np.zeros(n_clusters)
+        np.add.at(pop_per_c, item_cluster, item_pop)
+        m_idx, s_idx = np.meshgrid(np.arange(n_clusters), np.arange(n_clusters),
+                                   indexing="ij")
+        mult = (1.0
+                + affinity * (np.arange(n_clusters)[None, None, :] == m_idx[..., None])
+                + 0.5 * affinity * (np.arange(n_clusters)[None, None, :] == s_idx[..., None]))
+        lw = np.log(mult)  # [K, K, K_c]
+        logz = np.log((mult * pop_per_c[None, None, :]).sum(-1))  # [K, K]
+        n_u = counts.sum(1)
+        loglik = (counts @ lw.reshape(-1, n_clusters).T).reshape(
+            n_users, n_clusters, n_clusters
+        ) - n_u[:, None, None] * logz[None, :, :]
+        loglik -= loglik.max(axis=(1, 2), keepdims=True)
+        post = np.exp(loglik)
+        post /= post.sum(axis=(1, 2), keepdims=True)  # P(m, s | train_u)
+        p_main = post.sum(2)  # [U, K]
+        p_second = post.sum(1)  # [U, K]
+        boost_post = (affinity * p_main[:, item_cluster]
+                      + 0.5 * affinity * p_second[:, item_cluster])
+    else:
+        boost_post = None  # hierarchy regime: posterior ceiling not derived
+
     test_users = np.unique(te_u)
     # per-user test / train sets as CSR-ish dicts of arrays
     order = np.argsort(te_u, kind="stable")
@@ -118,17 +154,21 @@ def oracle_metrics(
     ends = np.searchsorted(te_sorted_u, test_users, side="right")
 
     disc = 1.0 / np.log2(np.arange(2, k + 2))
-    recalls, ndcgs, recalls_pop, ndcgs_pop = [], [], [], []
+    acc = {name: ([], []) for name in ("oracle", "posterior", "pop")}
     for b0 in range(0, len(test_users), block):
         users = test_users[b0:b0 + block]
-        w = item_pop[None, :] * (1.0 + boost[users])
-        w_pop = np.broadcast_to(item_pop, (len(users), n_items)).copy()
+        mats = {
+            "oracle": item_pop[None, :] * (1.0 + boost[users]),
+            "pop": np.broadcast_to(item_pop, (len(users), n_items)).copy(),
+        }
+        if boost_post is not None:
+            mats["posterior"] = item_pop[None, :] * (1.0 + boost_post[users])
         for row, u in enumerate(users):
             rated = tr_i[tr_u == u]
-            w[row, rated] = -np.inf
-            w_pop[row, rated] = -np.inf
-        for w_mat, rec_list, ndcg_list in ((w, recalls, ndcgs),
-                                           (w_pop, recalls_pop, ndcgs_pop)):
+            for w_mat in mats.values():
+                w_mat[row, rated] = -np.inf
+        for name, w_mat in mats.items():
+            rec_list, ndcg_list = acc[name]
             top = np.argpartition(-w_mat, k, axis=1)[:, :k]
             # order the k by score for DCG positions
             row_scores = np.take_along_axis(w_mat, top, axis=1)
@@ -140,14 +180,18 @@ def oracle_metrics(
                 rec_list.append(hits.sum() / max(len(tset), 1))
                 idcg = disc[: min(len(tset), k)].sum()
                 ndcg_list.append((disc * hits).sum() / idcg if idcg > 0 else 0.0)
-    return {
-        "recall": float(np.mean(recalls)),
-        "ndcg": float(np.mean(ndcgs)),
-        "recall_pop": float(np.mean(recalls_pop)),
-        "ndcg_pop": float(np.mean(ndcgs_pop)),
+    out = {
+        "recall": float(np.mean(acc["oracle"][0])),
+        "ndcg": float(np.mean(acc["oracle"][1])),
+        "recall_pop": float(np.mean(acc["pop"][0])),
+        "ndcg_pop": float(np.mean(acc["pop"][1])),
         "n_test_users": int(len(test_users)),
         "k": k,
     }
+    if acc["posterior"][0]:
+        out["recall_posterior"] = float(np.mean(acc["posterior"][0]))
+        out["ndcg_posterior"] = float(np.mean(acc["posterior"][1]))
+    return out
 
 
 def generate_interactions(

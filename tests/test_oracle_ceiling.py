@@ -27,6 +27,9 @@ def test_oracle_dominates_popularity_and_chance():
     # planted affinity 8 on 8 clusters: the Bayes scorer finds a large
     # share of the test items
     assert m["recall"] > 0.25, m
+    # the posterior-predictive (train-only) ceiling sits between the
+    # popularity oracle and the full-latent oracle
+    assert m["recall_pop"] < m["recall_posterior"] <= m["recall"] * 1.01, m
 
 
 def test_latent_prelude_stream_unchanged():
