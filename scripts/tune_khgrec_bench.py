@@ -39,6 +39,18 @@ TRIALS: list[dict] = [
     dict(name="reg-weak", lrate=3e-3, cl_rate=0.01, temp=1.0, drop_rate=0.2,
          reg=0.001),
 ]
+# round 2 (after the first sweep): the first-round trials all early-stop
+# while recall is still climbing (best_epoch <= 88 of 300) — these run
+# LONG with patience effectively off to measure true convergence, and
+# probe the plateau-decay hypothesis (lr_decay=1.0 disables the
+# ReduceLROnPlateau lr collapse).
+TRIALS_LONG: list[dict] = [
+    dict(name="long-lr3e-3", lrate=3e-3, cl_rate=0.01, temp=1.0, drop_rate=0.2),
+    dict(name="long-lr3e-3-nodecay", lrate=3e-3, cl_rate=0.01, temp=1.0,
+         drop_rate=0.2, lr_decay=1.0),
+    dict(name="long-default-nodecay", lrate=1e-3, cl_rate=0.01, temp=1.0,
+         drop_rate=0.2, lr_decay=1.0),
+]
 QUICK = {"bench-default", "no-ssl", "lr3e-3"}
 
 
@@ -86,9 +98,12 @@ def main() -> None:
           f"{orc['recall']:.4f}, popularity-only {orc['recall_pop']:.4f}",
           flush=True)
 
-    trials = TRIALS if args.trials == "all" else [
-        t for t in TRIALS if t["name"] in QUICK
-    ]
+    if args.trials == "long":
+        trials = TRIALS_LONG
+    elif args.trials == "all":
+        trials = TRIALS
+    else:
+        trials = [t for t in TRIALS if t["name"] in QUICK]
     for trial in trials:
         spec = {k: v for k, v in trial.items() if k != "name"}
         cfg = make_config(
