@@ -112,6 +112,24 @@ PALLAS_DISABLE = False
 PAD_TABLE_BUDGET = int(os.environ.get("HGDR_PAD_TABLE_BUDGET", 256 * 1024 * 1024))
 
 
+def dedup_auto(h_rows, h_cols, shape, row_block: int,
+               threshold: float = 4.0) -> bool:
+    """Pick the dedup-gather layout when the pooled within-window column
+    multiplicity (nnz / |distinct (window, col) pairs|) crosses
+    `threshold`. Calibration (scripts/probe_layouts.py, real chip):
+    multiplicity ~2.5 (LastFM-bench) is break-even; ~17 (ML-1M density)
+    is a 1.89x epoch speedup; the crossover sits between, 4 is the
+    conservative pick."""
+    h_rows_np = np.asarray(h_rows)
+    h_cols_np = np.asarray(h_cols)
+    live = h_rows_np < shape[0]
+    if not live.any():
+        return False
+    key = (h_rows_np[live] // row_block).astype(np.int64) * shape[1] + h_cols_np[live]
+    n_unique = np.unique(key).shape[0]
+    return bool(live.sum() >= threshold * max(n_unique, 1))
+
+
 def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals, canon_map=None) -> SparseCOO:
     """Attach the pallas row-window layout on TPU for large matrices.
 
@@ -124,14 +142,22 @@ def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals, canon_map=None)
         or not (PALLAS_MIN_NNZ <= sp.nnz <= PALLAS_MAX_NNZ)
     ):
         return sp
-    from ..ops.pallas.segment_spmm import pack_blocked, pack_blocked_dedup
+    from ..ops.pallas.segment_spmm import ROW_BLOCK, pack_blocked, pack_blocked_dedup
 
-    # HGDR_DEDUP=1 opts into the deduplicated-gather layout: wins only on
-    # graphs with high within-window column multiplicity (>~4x); at the
-    # bench graphs' ~2x it measured break-even-to-slower because the
-    # in-kernel one-hot expansion costs more MXU time than the row-rate
-    # -bound gather saves (BENCH_NOTES.md, round 3).
-    pack = pack_blocked_dedup if os.environ.get("HGDR_DEDUP") == "1" else pack_blocked
+    # Deduplicated-gather layout selection. TPU gathers are row-RATE
+    # bound, so gathering each DISTINCT column once per block wins by the
+    # within-window column multiplicity — measured 1.89x faster epochs at
+    # ML-1M density (multiplicity ~17) and break-even at the LastFM
+    # bench graph's ~2.5 (scripts/probe_layouts.py, BENCH_NOTES round 3).
+    # AUTO (default): pick dedup when the pooled within-window
+    # multiplicity nnz / |distinct (window, col) pairs| exceeds 4.
+    # HGDR_DEDUP=1 forces on, =0 forces off.
+    env = os.environ.get("HGDR_DEDUP", "auto")
+    if env in ("0", "1"):
+        use_dedup = env == "1"
+    else:
+        use_dedup = dedup_auto(h_rows, h_cols, sp.shape, ROW_BLOCK)
+    pack = pack_blocked_dedup if use_dedup else pack_blocked
     blocked = pack(
         h_rows, h_cols, h_vals, sp.shape, bf16=PALLAS_BF16, canon_map=canon_map
     )

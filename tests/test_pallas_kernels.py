@@ -306,3 +306,19 @@ def test_dedup_int8_spmm_close_to_exact(rng):
     )
     ref_gx = np.asarray(mat.T @ np.ones((600, 64), np.float32))
     np.testing.assert_allclose(np.asarray(gx), ref_gx, rtol=3e-4, atol=3e-4)
+
+
+def test_dedup_auto_selection(rng):
+    """Layout auto-selector (BENCH_NOTES round 3): dense-column graphs
+    pick the dedup layout; sparse-column graphs keep the base layout."""
+    from hypergraph_diffusion_for_recommendation_tpu.data.device import dedup_auto
+
+    # ML-1M-like: 64 cols hammered by 4096 edges -> multiplicity >> 4
+    rows = np.sort(rng.integers(0, 1024, 4096))
+    cols = rng.integers(0, 64, 4096)
+    assert dedup_auto(rows, cols, (1024, 64), row_block=256)
+    # LastFM-like: near-unique cols -> multiplicity ~1
+    cols_sparse = rng.permutation(100_000)[:4096]
+    assert not dedup_auto(rows, cols_sparse, (1024, 100_000), row_block=256)
+    # pad rows (== shape[0]) are ignored; all-pad -> False
+    assert not dedup_auto(np.full(8, 1024), np.zeros(8, int), (1024, 64), 256)
