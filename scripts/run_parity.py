@@ -70,7 +70,11 @@ MODEL_FLAGS: dict[str, list[str]] = {
     "HGNN": ["--batch_size_kg=4096", "--hyper_dim=64", "--relation_dim=32",
              "--temp=1.0", "--cl_rate=0.01", "--drop_rate=0.2", "--p=0.3",
              "--reg=0.01", "--reg_kg=0.01", "--n_layers=2"],
-    "HGNN_HD3": ["--hyper_dim=64", "--cl_rate=1e-5", "--temp=0.2",
+    # the reference's wavelet weight matrices are sized from conf
+    # embedding.size=32 while features take kwargs hyper_dim — the model
+    # only runs with hyper_dim == 32 (shape error otherwise), so that is
+    # the pinned capacity for both sides.
+    "HGNN_HD3": ["--hyper_dim=32", "--cl_rate=1e-5", "--temp=0.2",
                  "--drop_rate=0.2", "--p=0.3", "--reg=0.1",
                  "--weight_decay=5e-6"],
     "MF": ["--reg=0.1"],
