@@ -89,6 +89,11 @@ class RelationalAwareEncoder(nn.Module):
     dim: int
     n_layers: int
     slope: float
+    # KHGRec folds the learned attention adjacency into the KG conv
+    # (M = A_att K, KHGRec.py:419-438); HGNN's AttHGCNConv comments that
+    # multiply OUT (`adj = inp_adj`, HGNN_cp.py:440-446) — its KG conv is
+    # the plain two-hop K (K^T x). Parity demands both forms.
+    use_att_adj: bool = True
 
     def setup(self):
         self.lns = [nn.LayerNorm() for _ in range(self.n_layers)]
@@ -98,6 +103,10 @@ class RelationalAwareEncoder(nn.Module):
         n = embs.shape[0]
 
         def att_conv(x, act: bool):
+            if not self.use_att_adj:
+                y = _sp.spmm_pair(kg_adj.bwd, kg_adj.fwd, x)
+                y = _sp.spmm_pair(kg_adj.fwd, kg_adj.bwd, y)
+                return jax.nn.leaky_relu(y, self.slope) if act else y
             # M (M^T x) with M = A_att K: A_att K K^T A_att^T x
             y = att_matvec_t(att_h, att_t, att_v, x, n)
             y = _sp.spmm_pair(kg_adj.bwd, kg_adj.fwd, y)
@@ -122,6 +131,7 @@ class KHGRecModule(nn.Module):
 
     use_self_att: bool = False
     use_hyper: bool = True
+    kg_use_att_adj: bool = True  # HGNN drops the A_att multiply (HGNN_cp.py:440-446)
     # active (data, model) mesh: routes entity-TABLE lookups through the
     # explicit shard_map collective (parallel/embedding.py) instead of
     # letting GSPMD choose a strategy. None = plain gather.
@@ -151,7 +161,9 @@ class KHGRecModule(nn.Module):
             self.n_users, self.hyper_dim, self.n_layers, self.slope,
             self.use_self_att, self.use_hyper,
         )
-        self.kg_encoder = RelationalAwareEncoder(self.hyper_dim, self.n_layers, self.slope)
+        self.kg_encoder = RelationalAwareEncoder(
+            self.hyper_dim, self.n_layers, self.slope, self.kg_use_att_adj
+        )
         self.attention_item = AttentionFusion(self.hyper_dim)
 
     def cf_forward(self, cf: CFDeviceData, kg: KGDeviceData, keep_rate: float, train: bool):
@@ -235,6 +247,7 @@ def _build_khgrec_like(
     use_self_att: bool = False,
     force_no_ssl: bool = False,
     hyper_from_mode: bool = False,
+    kg_att_adj: bool = True,
 ):
     """Factory covering the KHGRec skeleton family:
       KHGRec       (KHGRec.py)       — no self-att, SSL per mode
@@ -267,7 +280,8 @@ def _build_khgrec_like(
         module = KHGRecModule(
             kg.n_entities, kg.n_relations, cf.n_users,
             cfg.hyper_dim, cfg.relation_dim, cfg.n_layers, cfg.p,
-            use_self_att, use_hyper, lookup_mesh,
+            use_self_att=use_self_att, use_hyper=use_hyper,
+            kg_use_att_adj=kg_att_adj, lookup_mesh=lookup_mesh,
         )
         # joint (block-diagonal) path: OPT-IN via HGDR_JOINT=1. Measured
         # on TPU v5e the merged spmm is ~7% slower than the two separate
@@ -394,6 +408,7 @@ register_model("KHGRec")(_build_khgrec_like("KHGRec"))
 # behavior is expressed via --mode / hyperparameters, not separate code.
 for _i in range(1, 10):
     register_model(f"KHGRec_variation{_i}")(_build_khgrec_like("KHGRec"))
-register_model("HGNN")(_build_khgrec_like("HGNN", use_self_att=True))
+register_model("HGNN")(_build_khgrec_like("HGNN", use_self_att=True,
+                                          kg_att_adj=False))
 register_model("HD2")(_build_khgrec_like("HD2", use_self_att=True, force_no_ssl=True))
 register_model("HGNNAblation")(_build_khgrec_like("HGNNAblation", hyper_from_mode=True))
