@@ -290,6 +290,26 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
 
     lines += [
         "",
+        "Outlier notes:",
+        "",
+        "- **KHGRec**: the reference implementation collapses under this "
+        "pinned config (and reached only ~0.26 under its kwargs defaults "
+        "hyper_dim=32/temp=10 in an earlier unpinned pass). Known reference "
+        "defects plausibly involved: the SSL term contrasts a view with "
+        "ITSELF (`contrastLoss(embeds2[n_users:], embeds2[n_users:], ...)`, "
+        "KHGRec.py:370-371 — fixed deliberately in the rebuild, SURVEY 7.4) "
+        "and the per-batch CPU sparse-softmax attention refresh. The rebuild "
+        "trains stably to 0.368 on the same files/flags.",
+        "- **HGNN**: rebuild seed 3 early-stopped in a bad basin (0.212 vs "
+        "0.364/0.376) — the self-attention encoder trains with high seed "
+        "variance; mean parity is within noise of the reference "
+        "(0.317±0.074 vs 0.339±0.003).",
+        "- **SGL**: BOTH implementations collapse to ~0.035 under the pinned "
+        "(cl_rate 0.01, temp 0.2, node-dropout) config — agreement on a "
+        "pathological config is itself strong parity evidence; with CL "
+        "weakened (the reference's kwargs-default temp=10) both sides "
+        "recover toward LightGCN-level recall.",
+        "",
         "## Reference-side blocked models (exact errors, verified by invocation)",
         "",
     ]
