@@ -50,6 +50,9 @@ def ranking_metrics(
     "ndcg": ...} as device arrays ordered like `top_ns`."""
     max_n = max(top_ns)
     n_pad = eval_data.test_users.shape[0]
+    # small eval sets (e.g. a cold-start quartile) can be padded shorter
+    # than the configured block: clamp so one block covers them
+    block = min(block, n_pad)
     assert n_pad % block == 0, (n_pad, block)
     n_blocks = n_pad // block
 
@@ -112,6 +115,7 @@ def metrics_from_topk(
     user (the distributed-top-k eval path: ids come from
     parallel/topk.sharded_user_topk)."""
     n_pad = eval_data.test_users.shape[0]
+    block = min(block, n_pad)  # small eval sets: one block covers them
     assert n_pad % block == 0, (n_pad, block)
     n_blocks = n_pad // block
     max_n = max(top_ns)

@@ -129,3 +129,38 @@ def test_metrics_from_topk_matches_ranking_metrics(tiny_dataset):
     _, ids = masked_topk(scores, dev.rated_pad[ed.test_users], max(top_ns))
     split = metrics_to_host(metrics_from_topk(ids, ed, top_ns, block=64), top_ns)
     assert fused == split
+
+
+def test_ranking_metrics_block_larger_than_eval_set():
+    """Cold-start quartiles pad fewer test users than the configured eval
+    block; the block must clamp instead of assert (round-3 matrix fix)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hypergraph_diffusion_for_recommendation_tpu.eval.metrics import (
+        metrics_to_host,
+        ranking_metrics,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.data.device import (
+        build_cf_device_data,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.data.dataset import (
+        build_interaction,
+    )
+
+    rng = np.random.default_rng(0)
+    train = np.stack([rng.integers(0, 40, 400), rng.integers(0, 60, 400)], 1)
+    test = np.stack([np.arange(40), rng.integers(0, 60, 40)], 1)
+    inter = build_interaction(train, test)
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    u = jnp.asarray(rng.standard_normal((inter.n_users, 8)), jnp.float32)
+    i = jnp.asarray(rng.standard_normal((inter.n_items, 8)), jnp.float32)
+    big = metrics_to_host(
+        ranking_metrics(u, i, cf.rated_pad, cf.eval_data, (10,), block=512),
+        (10,),
+    )
+    small = metrics_to_host(
+        ranking_metrics(u, i, cf.rated_pad, cf.eval_data, (10,), block=32),
+        (10,),
+    )
+    for k in big[10]:
+        np.testing.assert_allclose(big[10][k], small[10][k], rtol=1e-6)
