@@ -176,7 +176,13 @@ def main() -> int:
             f"# Robustness matrix — {args.dataset}\n\n"
             "Side-by-side with the reference's committed numbers "
             "(BASELINE.md / reference output.csv). Reference cells are "
-            "only available for the rows the reference committed.\n\n"
+            "only available for the rows the reference committed. NOTE: "
+            "when this matrix is run on synthetic data (no real dataset "
+            "ships in this environment), the reference column refers to "
+            "REAL-LastFM runs — compare experiment STRUCTURE and "
+            "degradation trends, not absolute values; absolute parity "
+            "lives in PARITY_RUNS.md (both frameworks on the same "
+            "files).\n\n"
             "| Model | Experiment | % | Recall@20 (ours) | Recall@20 (ref) | "
             "NDCG@20 (ours) | NDCG@20 (ref) |\n|---|---|---|---|---|---|---|\n"
         )
