@@ -238,6 +238,7 @@ def generate_interactions(
     base = item_pop.copy()
     log_base = np.log(base)
     if hierarchy is not None:
+        n_coarse, n_fine_per = hierarchy
         sib = affinity / 2.0 if sibling_affinity is None else sibling_affinity
         item_coarse = item_cluster // n_fine_per
     for u in range(n_users):
