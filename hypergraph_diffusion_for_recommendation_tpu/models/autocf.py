@@ -259,7 +259,10 @@ def _build_autocf_like(name: str, use_profiles: bool):
                 {"params": rng}, enc0, dec0, rng, profiles, method=AutoCFModule.init_all
             )
             extras = {
-                "enc_vals": cf.adj.fwd.vals,
+                # copy: extras are DONATED each dispatch; seeding with the
+                # bundle-held adjacency buffer would delete cf.adj.fwd.vals
+                # for every later trace/eval (the ADVICE r2 aliasing bug)
+                "enc_vals": jnp.copy(cf.adj.fwd.vals),
                 "dec_rows": dec0[0],
                 "dec_cols": dec0[1],
                 "dec_valid": dec0[2],

@@ -348,8 +348,11 @@ def build_buir(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
 
     def init(rng):
         params = module.init(rng)
-        u0 = params["params"]["user_emb"]
-        i0 = params["params"]["item_emb"]
+        # copies, not references: params and extras both thread through
+        # DONATED dispatch — sharing one buffer between them is a
+        # double-donation error (f(donate(a), donate(a)))
+        u0 = jnp.copy(params["params"]["user_emb"])
+        i0 = jnp.copy(params["params"]["item_emb"])
         return params, {"target_u": u0, "target_i": i0}
 
     def update_extras(params, extras, batch, rng):

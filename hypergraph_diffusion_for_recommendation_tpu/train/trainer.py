@@ -137,14 +137,24 @@ def _jit_hoisted(fn, donate_args: tuple = ()):
             assert in_tree == state["in_tree"], (in_tree, state["in_tree"])
         don, keep = state["don"], state["keep"]
         don_leaves = [flat[i] for i in don]
-        if don and state.get("const_ids"):
-            # Same guard for later calls: donating a leaf that IS a
-            # cached const would delete the const. Copy the leaf instead
-            # (loses donation for that one leaf only).
-            don_leaves = [
-                jnp.copy(x) if id(x) in state["const_ids"] else x
-                for x in don_leaves
-            ]
+        if don:
+            if state.get("const_ids"):
+                # Donating a leaf that IS a cached const would delete the
+                # const. Copy the leaf instead (loses donation for that
+                # one leaf only).
+                don_leaves = [
+                    jnp.copy(x) if id(x) in state["const_ids"] else x
+                    for x in don_leaves
+                ]
+            # A buffer appearing TWICE among donated leaves (e.g. a model
+            # seeding extras with a reference into params) is an XLA
+            # double-donation error; copy the repeats.
+            seen: set = set()
+            for j, x in enumerate(don_leaves):
+                if id(x) in seen:
+                    don_leaves[j] = jnp.copy(x)
+                else:
+                    seen.add(id(x))
         return state["fn"](state["consts"], don_leaves, [flat[i] for i in keep])
 
     return call
