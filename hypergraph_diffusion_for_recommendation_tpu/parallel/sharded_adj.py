@@ -32,6 +32,8 @@ largest graphs are materialised DENSE (HGNN_HD3.py:386-387).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -123,7 +125,8 @@ def _shard_edges_balanced(rows, cols, vals, canon, n_shards: int, n_pad: int):
     return lr, cc, vv, cn
 
 
-def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16):
+def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16,
+                        balanced=False):
     """Per-shard pallas layouts stacked on a leading shard axis.
 
     Each shard's edges are packed independently (`pack_blocked` on the
@@ -133,12 +136,32 @@ def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16):
     row; wmap repeats the last window so the kernel re-accumulates
     zeros into an already-written tile).
     """
-    from ..ops.pallas.segment_spmm import pack_blocked
+    from ..ops.pallas.segment_spmm import ROW_BLOCK, pack_blocked, pack_blocked_dedup
+    from ..data.device import dedup_auto
+
+    # one layout decision for ALL shards (uniform stacked structure),
+    # taken on the pooled edges — same selector as the single-chip path
+    # (1.89x at ML-1M density, BENCH_NOTES round 3)
+    env = os.environ.get("HGDR_DEDUP", "auto")
+    if env in ("0", "1"):
+        use_dedup = env == "1"
+    else:
+        if balanced:
+            # balanced mode: lrows are already GLOBAL (pad = out_rows)
+            g_rows, g_nrows = lr.reshape(-1), out_rows
+        else:
+            # window mode: offset each shard's local rows so windows
+            # don't collide across shards in the multiplicity count
+            offs = (np.arange(n_shards, dtype=np.int64) * out_rows)[:, None]
+            g_rows = np.where(lr < out_rows, lr + offs, n_shards * out_rows)
+            g_rows, g_nrows = g_rows.reshape(-1), n_shards * out_rows
+        use_dedup = dedup_auto(g_rows, cc.reshape(-1), (g_nrows, ncols), ROW_BLOCK)
+    pack = pack_blocked_dedup if use_dedup else pack_blocked
 
     per = []
     for s in range(n_shards):
-        b = pack_blocked(lr[s], cc[s], vv[s], (out_rows, ncols), bf16=bf16,
-                         canon_map=cn[s])
+        b = pack(lr[s], cc[s], vv[s], (out_rows, ncols), bf16=bf16,
+                 canon_map=cn[s])
         per.append(b)
     nb_max = max(b.n_blocks for b in per)  # already a multiple of 8
 
@@ -157,7 +180,7 @@ def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16):
         return jnp.asarray(np.stack(outs))
 
     b0 = per[0]
-    return b0.replace(
+    out = b0.replace(
         cols=pad_stack(lambda b: b.cols, 0),
         vals=pad_stack(lambda b: b.vals, 0.0),
         local_rows=pad_stack(lambda b: b.local_rows, b0.rb),
@@ -166,6 +189,14 @@ def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16):
         canon=pad_stack(lambda b: b.canon, 0),
         n_blocks=int(nb_max),
     )
+    if b0.ucols is not None:
+        # dedup layout: stack the distinct-col gather arrays too; inert
+        # pad blocks gather row 0 (ucols 0) and match no edge (lcols=ub)
+        out = out.replace(
+            ucols=pad_stack(lambda b: b.ucols, 0),
+            local_cols=pad_stack(lambda b: b.local_cols, b0.ub),
+        )
+    return out
 
 
 def shard_sparse(
@@ -226,7 +257,8 @@ def shard_sparse(
     if attach_blocked:
         out_rows = n_shards * rps if balanced else rps
         blocked = _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows,
-                                      int(shape[1]), _dev.PALLAS_BF16)
+                                      int(shape[1]), _dev.PALLAS_BF16,
+                                      balanced=balanced)
 
     shard_rows = NamedSharding(mesh, P(axis))
     put = lambda a: jax.device_put(jnp.asarray(a), shard_rows)
@@ -236,6 +268,10 @@ def shard_sparse(
             local_rows=put(blocked.local_rows), wmap=put(blocked.wmap),
             src=put(blocked.src), canon=put(blocked.canon),
         )
+        if blocked.ucols is not None:
+            blocked = blocked.replace(
+                ucols=put(blocked.ucols), local_cols=put(blocked.local_cols)
+            )
     return ShardedCOO(
         lrows=put(lr), cols=put(cc), vals=put(vv), canon=put(cn),
         blocked=blocked,
@@ -246,11 +282,16 @@ def shard_sparse(
 
 def _local_blocked(b, leaf_index):
     """The per-device BlockedCOO view (leading shard axis stripped)."""
-    return b.replace(
+    out = b.replace(
         cols=b.cols[leaf_index], vals=b.vals[leaf_index],
         local_rows=b.local_rows[leaf_index], wmap=b.wmap[leaf_index],
         src=b.src[leaf_index], canon=b.canon[leaf_index],
     )
+    if b.ucols is not None:
+        out = out.replace(
+            ucols=b.ucols[leaf_index], local_cols=b.local_cols[leaf_index]
+        )
+    return out
 
 
 def sharded_spmm(a: ShardedCOO, x: jnp.ndarray) -> jnp.ndarray:

@@ -274,3 +274,22 @@ def test_khgrec_sharded_adjacency_matches_replicated(mesh, tiny_kg_dataset):
     for metric in m_rep[20]:
         np.testing.assert_allclose(m_sh[20][metric], m_rep[20][metric], rtol=1e-2,
                                    atol=1e-5)
+
+
+def test_sharded_spmm_dedup_layout_matches(mesh, monkeypatch):
+    """Forced dedup-gather per-shard layout (HGDR_DEDUP=1): stacked
+    ucols/local_cols arrays, interpret-mode kernel == scipy, both modes."""
+    from hypergraph_diffusion_for_recommendation_tpu.parallel.sharded_adj import (
+        shard_sparse,
+    )
+
+    monkeypatch.setenv("HGDR_DEDUP", "1")
+    mat = _rand_sparse(180, 60, 1600, seed=6).tocoo()  # dense cols dedup well
+    for mode in ("window", "balanced"):
+        sp = shard_sparse(mat.row, mat.col, mat.data, mat.shape, mesh,
+                          attach_blocked=True, mode=mode)
+        assert sp.blocked is not None and sp.blocked.ucols is not None
+        x = np.random.default_rng(7).normal(size=(60, 8)).astype(np.float32)
+        got = np.asarray(sharded_spmm(sp, jnp.asarray(x)))
+        np.testing.assert_allclose(got, mat.tocsr() @ x, rtol=2e-5, atol=2e-5,
+                                   err_msg=mode)
