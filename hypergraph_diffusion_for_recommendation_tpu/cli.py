@@ -78,6 +78,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "(train and eval share one device queue)")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--gather_layout", type=str, default="auto",
+                   choices=("auto", "base", "dedup", "int8", "dedup_int8"),
+                   help="pallas gather layout: auto selects dedup by column "
+                        "multiplicity (1.89x at ML-1M density); int8 variants "
+                        "quantise the gathered operand (~1%% fwd error)")
     p.add_argument("--shard_graph", type=str, default="auto",
                    choices=("auto", "on", "off"),
                    help="row-window-shard graph adjacencies over the model "
@@ -106,7 +111,7 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         "hyper_dim", "lr_decay", "weight_decay", "reg", "reg_kg", "p", "drop_rate",
         "nheads", "temp", "cl_rate", "mode", "aug_type", "laplacian_type",
         "aggregation_type", "early_stopping_steps", "evaluate_every",
-        "mesh_data", "mesh_model", "shard_graph", "output_dir", "save_checkpoints", "resume",
+        "mesh_data", "mesh_model", "shard_graph", "gather_layout", "output_dir", "save_checkpoints", "resume",
     ):
         v = getattr(args, key)
         if v is not None:
@@ -187,6 +192,11 @@ def run(cfg, quiet: bool = False):
 
     _device_mod.PALLAS_BF16 = cfg.compute_dtype == "bfloat16"
     _device_mod.PALLAS_DISABLE = cfg.use_pallas == "never"
+    if cfg.gather_layout != "auto":
+        _device_mod.PALLAS_DEDUP = (
+            "1" if cfg.gather_layout in ("dedup", "dedup_int8") else "0"
+        )
+        _device_mod.PALLAS_INT8 = cfg.gather_layout in ("int8", "dedup_int8")
 
     mesh = None
     if cfg.mesh_data * cfg.mesh_model > 1:

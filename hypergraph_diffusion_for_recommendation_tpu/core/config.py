@@ -71,6 +71,11 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for large-scale runs
     use_pallas: str = "auto"  # auto | always | never
+    # gather layout for the pallas blocked packs: auto picks the
+    # dedup-gather layout by column multiplicity (1.89x at ML-1M
+    # density, BENCH_NOTES r3); int8 variants quantise the gathered
+    # operand (~1% fwd error, exact f32 backward)
+    gather_layout: str = "auto"  # auto | base | dedup | int8 | dedup_int8
     # max train steps per device execution (0 = auto). The axon TPU
     # worker faults when ONE execution's cumulative pallas DMA traffic
     # crosses ~2^40 bytes (empirically bisected, scripts/bisect_pallas.py

@@ -107,6 +107,12 @@ PALLAS_MAX_NNZ = int(os.environ.get("HGDR_PALLAS_MAX_NNZ", 64_000_000))
 # (set from Config.compute_dtype / Config.use_pallas by the CLI/bench)
 PALLAS_BF16 = False
 PALLAS_DISABLE = False
+# Gather-layout policy for the blocked packs (see dedup_auto): "auto"
+# selects by column multiplicity, "0"/"1" force. int8 quantises the
+# gathered operand (~1% fwd error; 1.78x at ML-1M density) — opt-in.
+# Env vars seed the defaults; the CLI's --gather_layout overrides.
+PALLAS_DEDUP = os.environ.get("HGDR_DEDUP", "auto")
+PALLAS_INT8 = os.environ.get("HGDR_INT8") == "1"
 # max bytes for a padded membership table before sampling falls back to
 # the O(nnz) CSR binary-search form (see build_kg_device_data)
 PAD_TABLE_BUDGET = int(os.environ.get("HGDR_PAD_TABLE_BUDGET", 256 * 1024 * 1024))
@@ -152,18 +158,17 @@ def _maybe_attach_blocked(sp: SparseCOO, h_rows, h_cols, h_vals, canon_map=None)
     # AUTO (default): pick dedup when the pooled within-window
     # multiplicity nnz / |distinct (window, col) pairs| exceeds 4.
     # HGDR_DEDUP=1 forces on, =0 forces off.
-    env = os.environ.get("HGDR_DEDUP", "auto")
-    if env in ("0", "1"):
-        use_dedup = env == "1"
+    if PALLAS_DEDUP in ("0", "1"):
+        use_dedup = PALLAS_DEDUP == "1"
     else:
         use_dedup = dedup_auto(h_rows, h_cols, sp.shape, ROW_BLOCK)
     pack = pack_blocked_dedup if use_dedup else pack_blocked
     blocked = pack(
         h_rows, h_cols, h_vals, sp.shape, bf16=PALLAS_BF16, canon_map=canon_map
     )
-    # HGDR_INT8=1: quantised gathered operand (see BlockedCOO.int8);
-    # composes with HGDR_DEDUP (combined dedup+int8 kernel)
-    if os.environ.get("HGDR_INT8") == "1":
+    # PALLAS_INT8: quantised gathered operand (see BlockedCOO.int8);
+    # composes with the dedup layout (combined dedup+int8 kernel)
+    if PALLAS_INT8:
         blocked = blocked.replace(int8=True)
     return sp.replace(blocked=blocked)
 

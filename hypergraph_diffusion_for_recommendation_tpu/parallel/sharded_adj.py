@@ -142,7 +142,9 @@ def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16,
     # one layout decision for ALL shards (uniform stacked structure),
     # taken on the pooled edges — same selector as the single-chip path
     # (1.89x at ML-1M density, BENCH_NOTES round 3)
-    env = os.environ.get("HGDR_DEDUP", "auto")
+    from ..data import device as _devmod
+
+    env = _devmod.PALLAS_DEDUP
     if env in ("0", "1"):
         use_dedup = env == "1"
     else:
@@ -162,6 +164,8 @@ def _pack_shard_blocked(lr, cc, vv, cn, n_shards, out_rows, ncols, bf16,
     for s in range(n_shards):
         b = pack(lr[s], cc[s], vv[s], (out_rows, ncols), bf16=bf16,
                  canon_map=cn[s])
+        if _devmod.PALLAS_INT8:
+            b = b.replace(int8=True)
         per.append(b)
     nb_max = max(b.n_blocks for b in per)  # already a multiple of 8
 

@@ -283,7 +283,9 @@ def test_sharded_spmm_dedup_layout_matches(mesh, monkeypatch):
         shard_sparse,
     )
 
-    monkeypatch.setenv("HGDR_DEDUP", "1")
+    from hypergraph_diffusion_for_recommendation_tpu.data import device as devmod
+
+    monkeypatch.setattr(devmod, "PALLAS_DEDUP", "1")
     mat = _rand_sparse(180, 60, 1600, seed=6).tocoo()  # dense cols dedup well
     for mode in ("window", "balanced"):
         sp = shard_sparse(mat.row, mat.col, mat.data, mat.shape, mesh,
