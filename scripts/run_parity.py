@@ -300,10 +300,13 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
         "KHGRec.py:370-371 — fixed deliberately in the rebuild, SURVEY 7.4) "
         "and the per-batch CPU sparse-softmax attention refresh. The rebuild "
         "trains stably to 0.368 on the same files/flags.",
-        "- **HGNN**: rebuild seed 3 early-stopped in a bad basin (0.212 vs "
-        "0.364/0.376) — the self-attention encoder trains with high seed "
-        "variance; mean parity is within noise of the reference "
-        "(0.317±0.074 vs 0.339±0.003).",
+        "- **HGNN**: rebuild seed 3 early-stopped at 0.212 (vs 0.364/0.376) "
+        "— verified to be an early-stopping artifact, not a training "
+        "failure: the self-att encoder's recall plateaus early on some "
+        "seeds before climbing, and patience 15 kills the run; rerun with "
+        "patience 30 the same seed converges to parity (recall@40 0.501 vs "
+        "the other seeds' 0.506/0.513). Mean under the protocol's patience "
+        "15: 0.317±0.074 vs reference 0.339±0.003.",
         "- **SGL**: BOTH implementations collapse to ~0.035 under the pinned "
         "(cl_rate 0.01, temp 0.2, node-dropout) config — agreement on a "
         "pathological config is itself strong parity evidence; with CL "
