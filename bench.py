@@ -74,6 +74,12 @@ def supervise(argv: list[str], deadlines: tuple[float, ...]) -> int:
         # rc < 0; any nonzero rc) gets a fresh attempt like a timeout.
         log(f"[bench-supervisor] attempt {i + 1} exited rc={rc} — retrying")
     log(f"[bench-supervisor] all attempts failed (last rc={rc})")
+    # Signal deaths surface as negative rc from Popen.wait; sys.exit(neg)
+    # would wrap mod 256 (SIGKILL -> 247) and collide with real rcs,
+    # losing the timeout(124)-vs-crash distinction. Map to the shell
+    # convention 128 + signal instead.
+    if rc < 0:
+        rc = 128 - rc
     return rc
 
 

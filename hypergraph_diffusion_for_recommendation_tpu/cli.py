@@ -192,11 +192,17 @@ def run(cfg, quiet: bool = False):
 
     _device_mod.PALLAS_BF16 = cfg.compute_dtype == "bfloat16"
     _device_mod.PALLAS_DISABLE = cfg.use_pallas == "never"
+    # Always (re)set BOTH layout globals: in-process sequential cli.main()
+    # calls (run_parity.py, converter_scale_check.py) must not inherit a
+    # forced layout from an earlier run — 'auto' restores env defaults.
     if cfg.gather_layout != "auto":
         _device_mod.PALLAS_DEDUP = (
             "1" if cfg.gather_layout in ("dedup", "dedup_int8") else "0"
         )
         _device_mod.PALLAS_INT8 = cfg.gather_layout in ("int8", "dedup_int8")
+    else:
+        _device_mod.PALLAS_DEDUP = os.environ.get("HGDR_DEDUP", "auto")
+        _device_mod.PALLAS_INT8 = os.environ.get("HGDR_INT8") == "1"
 
     mesh = None
     if cfg.mesh_data * cfg.mesh_model > 1:

@@ -50,6 +50,11 @@ def ranking_metrics(
     "ndcg": ...} as device arrays ordered like `top_ns`."""
     max_n = max(top_ns)
     n_pad = eval_data.test_users.shape[0]
+    if n_pad == 0:
+        raise ValueError(
+            "ranking_metrics: empty eval set (0 padded test users) — "
+            "e.g. a cold-start quartile with no test users; nothing to score"
+        )
     # small eval sets (e.g. a cold-start quartile) can be padded shorter
     # than the configured block: clamp so one block covers them
     block = min(block, n_pad)
@@ -115,6 +120,11 @@ def metrics_from_topk(
     user (the distributed-top-k eval path: ids come from
     parallel/topk.sharded_user_topk)."""
     n_pad = eval_data.test_users.shape[0]
+    if n_pad == 0:
+        raise ValueError(
+            "metrics_from_topk: empty eval set (0 padded test users) — "
+            "e.g. a cold-start quartile with no test users; nothing to score"
+        )
     block = min(block, n_pad)  # small eval sets: one block covers them
     assert n_pad % block == 0, (n_pad, block)
     n_blocks = n_pad // block
