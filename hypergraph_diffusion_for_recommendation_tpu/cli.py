@@ -88,6 +88,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="row-window-shard graph adjacencies over the model "
                         "axis (parallel/sharded_adj.py); auto shards the "
                         "representations the model declares safe")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=("redraw", "exact"),
+                   help="negative sampler: redraw = on-device fixed-round "
+                        "redraw (default); exact = host-side exact rejection "
+                        "with the reference's semantics (parity A/B control)")
     p.add_argument("--output_dir", type=str, default="./results")
     p.add_argument("--export_embeddings", action="store_true",
                    help="write <run_dir>/embeddings.npz for standalone "
@@ -111,7 +116,8 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         "hyper_dim", "lr_decay", "weight_decay", "reg", "reg_kg", "p", "drop_rate",
         "nheads", "temp", "cl_rate", "mode", "aug_type", "laplacian_type",
         "aggregation_type", "early_stopping_steps", "evaluate_every",
-        "mesh_data", "mesh_model", "shard_graph", "gather_layout", "output_dir", "save_checkpoints", "resume",
+        "mesh_data", "mesh_model", "shard_graph", "gather_layout", "sampler",
+        "output_dir", "save_checkpoints", "resume",
     ):
         v = getattr(args, key)
         if v is not None:

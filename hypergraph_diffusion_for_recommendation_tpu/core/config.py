@@ -83,6 +83,11 @@ class Config:
     # stay under a 2^38-byte budget (HGDR_PALLAS_EXEC_BUDGET).
     scan_chunk_steps: int = 0
     neg_resample_rounds: int = 8  # on-device rejection-free redraw rounds
+    # "redraw" = on-device fixed-round redraw (production default);
+    # "exact"  = host-side exact rejection loop with the reference's
+    # semantics (util/sampler.py:252-257) — the parity-A/B control for
+    # the sampling-distribution hypothesis (VERDICT r3 #1)
+    sampler: str = "redraw"
     shard_min_rows: int = 1024  # min table rows before row-sharding kicks in
     # row-window-shard the graph adjacencies over the mesh's model axis
     # (parallel/sharded_adj.py; per-device adjacency memory ~nnz/S):

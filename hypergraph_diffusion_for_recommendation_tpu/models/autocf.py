@@ -344,6 +344,9 @@ def _build_autocf_like(name: str, use_profiles: bool):
             name=name, cfg=cfg, cf=cf, kg=None, uses_kg=False,
             init=init, batch_loss=batch_loss, encode_eval=encode_eval,
             update_extras=update_extras,
+            # AutoCF.py / LRMRec.py import ReduceLROnPlateau but never
+            # instantiate it — fixed-lr Adam in the reference
+            lr_plateau=False,
         )
 
     return builder

@@ -65,6 +65,12 @@ class ModelBundle:
     # trainer to windowed batches (base/seq_recommender.py lifecycle)
     seq: Any = None
     batch_kind: str = "pairwise"  # 'pairwise' | 'sequence'
+    # whether the reference steps ReduceLROnPlateau for this model. Most
+    # do (KHGRec.py:41-42,191 etc.); LightGCN/SGL/AutoCF/LRMRec import
+    # the scheduler but never instantiate or step it (LightGCN.py:37 —
+    # plain Adam, fixed lr), so the trainer must not anneal for them
+    # either (parity: annealing changes the converged optimum).
+    lr_plateau: bool = True
 
 
 MODEL_REGISTRY: dict[str, Callable[..., ModelBundle]] = {}

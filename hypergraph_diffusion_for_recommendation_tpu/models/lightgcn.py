@@ -63,4 +63,7 @@ def build_lightgcn(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
         init=init,
         batch_loss=batch_loss,
         encode_eval=encode_eval,
+        # plain Adam at fixed lr — the reference never instantiates the
+        # scheduler it imports (LightGCN.py:37)
+        lr_plateau=False,
     )

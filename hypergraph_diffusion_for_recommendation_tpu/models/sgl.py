@@ -106,4 +106,6 @@ def build_sgl(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
         name="SGL", cfg=cfg, cf=cf, kg=None, uses_kg=False,
         init=init, batch_loss=batch_loss, encode_eval=encode_eval,
         epoch_setup=epoch_setup, grad_clip_norm=4.0,
+        # reference SGL never steps a scheduler (fixed-lr Adam)
+        lr_plateau=False,
     )

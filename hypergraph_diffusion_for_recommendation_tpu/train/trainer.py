@@ -254,6 +254,12 @@ class Trainer:
             self.n_batches = -(-bundle.seq.seq.shape[0] // cfg.batch_size)
         else:
             self.n_batches = -(-bundle.cf.n_train // cfg.batch_size)
+        exact = cfg.sampler == "exact"
+        if exact and bundle.batch_kind == "sequence":
+            raise ValueError(
+                "--sampler=exact is not supported for sequence models "
+                "(their negatives are resampled inside the epoch scan)"
+            )
         if bundle.alternating:
             # KGAT: two Adam instances over the same params (KGAT.py:66-67)
             self.kg_opt = make_optimizer(cfg.lrate, cfg.weight_decay)
@@ -265,12 +271,17 @@ class Trainer:
                 lr=cfg.lrate, factor=cfg.lr_decay, patience=cfg.lr_patience
             )
             self._chunk_steps = self._resolve_chunk_steps_alternating()
+            if exact and self._chunk_steps is None:
+                self._chunk_steps = (0, 0)  # host batches via the chunked path
             # donate the threaded train state (params / opt_state; extras is
             # REUSED across alternating chunks so it must not be donated
             # there, but the whole-epoch fn threads it)
             if self._chunk_steps:
                 self._epoch_fn = None
-                self._alt_sample_fn = _jit_hoisted(self._build_alt_sample_fn())
+                self._alt_sample_fn = (
+                    self._build_host_alt_sample_fn() if exact
+                    else _jit_hoisted(self._build_alt_sample_fn())
+                )
                 self._cf_chunk_fn = _jit_hoisted(
                     self._build_phase_chunk_fn("cf"), donate_args=_DONATE2
                 )
@@ -292,9 +303,15 @@ class Trainer:
         else:
             self.opt_state = self.opt.init(self.params)
             self._chunk_steps = self._resolve_chunk_steps()
+            if exact and not self._chunk_steps:
+                # whole epoch as ONE full chunk, batches fed from host
+                self._chunk_steps = self.n_batches
             if self._chunk_steps:
                 self._epoch_fn = None
-                self._sample_fn = _jit_hoisted(self._build_sample_fn())
+                self._sample_fn = (
+                    self._build_host_sample_fn() if exact
+                    else _jit_hoisted(self._build_sample_fn())
+                )
                 self._chunk_fn = _jit_hoisted(
                     self._build_chunk_fn(), donate_args=_DONATE3
                 )
@@ -665,6 +682,72 @@ class Trainer:
             )
             kg_rngs = jax.random.split(k_s2, n_kg_batches)
             return (users, pos, neg), cf_rngs, (h, r, pt, nt), kg_rngs
+
+        return sample_fn
+
+    # -- host-side EXACT rejection sampling (--sampler=exact): the parity
+    # A/B control for the on-device redraw (VERDICT r3 #1). Batches are
+    # built with numpy on the host (reference util/sampler.py semantics)
+    # and fed into the SAME chunked step functions, so the only change
+    # vs production is where the negatives come from.
+    def _make_exact_sampler(self):
+        from ..ops.sampling import HostExactSampler
+
+        bundle = self.bundle
+        cf = bundle.cf
+        kw = {}
+        if bundle.uses_kg or bundle.alternating:
+            kg = bundle.kg
+            n = kg.n_kg_train
+            kw = dict(
+                kg_heads=np.asarray(kg.att_h[:n]),
+                kg_relations=np.asarray(kg.att_r[:n]),
+                kg_tails=np.asarray(kg.att_t[:n]),
+                n_entities=kg.n_entities,
+            )
+        return HostExactSampler(
+            np.asarray(cf.edge_u), np.asarray(cf.edge_i), cf.n_items, **kw
+        )
+
+    @staticmethod
+    def _np_seed(key) -> int:
+        # deterministic host seed from the epoch's JAX key
+        return int(np.asarray(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    def _build_host_sample_fn(self):
+        bundle, cfg = self.bundle, self.cfg
+        sampler = self._make_exact_sampler()
+
+        def sample_fn(rng):
+            k_cf, k_kg, k_steps, _ = jax.random.split(rng, 4)
+            users, pos, neg = sampler.pairwise(self._np_seed(k_cf), cfg.batch_size)
+            batches = tuple(jnp.asarray(x) for x in (users, pos, neg))
+            if bundle.uses_kg:
+                h, r, pt, nt = sampler.kg_batches(
+                    self._np_seed(k_kg), users.shape[0], cfg.batch_size_kg
+                )
+                batches = batches + tuple(jnp.asarray(x) for x in (h, r, pt, nt))
+            step_rngs = jax.random.split(k_steps, users.shape[0])
+            return batches, step_rngs
+
+        return sample_fn
+
+    def _build_host_alt_sample_fn(self):
+        bundle, cfg = self.bundle, self.cfg
+        sampler = self._make_exact_sampler()
+        n_kg_batches = int(bundle.kg.n_kg_train // cfg.batch_size_kg + 1)
+
+        def sample_fn(rng):
+            k_cf, k_kg, k_s1, k_s2 = jax.random.split(rng, 4)
+            users, pos, neg = sampler.pairwise(self._np_seed(k_cf), cfg.batch_size)
+            cf_batches = tuple(jnp.asarray(x) for x in (users, pos, neg))
+            cf_rngs = jax.random.split(k_s1, users.shape[0])
+            h, r, pt, nt = sampler.kg_batches(
+                self._np_seed(k_kg), n_kg_batches, cfg.batch_size_kg
+            )
+            kg_batches = tuple(jnp.asarray(x) for x in (h, r, pt, nt))
+            kg_rngs = jax.random.split(k_s2, n_kg_batches)
+            return cf_batches, cf_rngs, kg_batches, kg_rngs
 
         return sample_fn
 
@@ -1043,7 +1126,9 @@ class Trainer:
                 else (self.params, self.extras)
             )
 
-            if self.bundle.alternating:
+            if not self.bundle.lr_plateau:
+                pass  # reference trains this model at fixed lr (no scheduler)
+            elif self.bundle.alternating:
                 # per-phase schedulers on per-phase losses (KGAT.py:68-69,140-141)
                 self.plateau = self.plateau.step(aux.get("cf_loss", loss))
                 self.kg_plateau = self.kg_plateau.step(aux.get("kg_loss", loss))

@@ -120,20 +120,60 @@ def seed_everything(seed: int) -> None:
     torch.manual_seed(seed)
 
 
+def install_fixed_topk() -> None:
+    """Replace the reference's find_k_largest with a CORRECT top-K.
+
+    This fork's util/algorithm.py:143-173 seeds its candidate list with
+    item ids 0..K-1 and then re-scans ALL candidates from index 0, so
+    any of the first K ids that survives in the final top-K is inserted
+    a second time: the returned list contains DUPLICATE ids (~2.4 dup
+    slots per top-40 on a 600-item catalog; ~0.04 at 17k items). A
+    duplicated hit adds its position discount to DCG twice (inflating
+    NDCG) and evicts a real candidate from the window (deflating
+    recall/hit/precision). This flag swaps in an exact stable top-K
+    (score desc, first-occurrence/lowest-id ties — the same tie order
+    numba's scan would produce without the duplication defect, and the
+    same as jax.lax.top_k) so the A/B isolates the defect's metric
+    contribution. Must run BEFORE base/ imports resolve
+    `from util.algorithm import find_k_largest`."""
+    import numpy as np
+
+    sys.path.insert(0, os.getcwd())
+    import util.algorithm as alg
+
+    def find_k_largest_fixed(K, candidates):
+        c = np.asarray(candidates)
+        part = np.argpartition(-c, K - 1)[:K]
+        order = np.lexsort((part, -c[part]))
+        ids = part[order]
+        return list(ids.tolist()), list(c[ids].tolist())
+
+    alg.find_k_largest = find_k_largest_fixed
+
+
 def main() -> None:
     seed = 60
-    for i, a in enumerate(sys.argv):
+    fix_topk = False
+    argv = []
+    it = iter(enumerate(sys.argv[1:]))
+    for i, a in it:
         if a.startswith("--seed="):
             seed = int(a.split("=", 1)[1])
-        elif a == "--seed" and i + 1 < len(sys.argv):
-            seed = int(sys.argv[i + 1])
+        elif a == "--seed" and i + 2 < len(sys.argv):
+            seed = int(sys.argv[i + 2])
+        if a == "--fix_topk":  # runner-only flag, not passed to main.py
+            fix_topk = True
+            continue
+        argv.append(a)
 
     sys.path.insert(0, os.getcwd())
     install_numba_shim()
     install_graphlib_shims()
     install_cuda_shim()
+    if fix_topk:
+        install_fixed_topk()
     seed_everything(seed)
-    sys.argv = ["main.py"] + sys.argv[1:]
+    sys.argv = ["main.py"] + argv
     runpy.run_path("main.py", run_name="__main__")
 
 

@@ -162,17 +162,22 @@ TOPK_RE = re.compile(
 
 
 def run_reference(model: str, seed: int, max_epoch: int, early_stop: int,
-                  log_dir: str) -> dict | None:
+                  log_dir: str, fix_topk: bool = False) -> dict | None:
     argv = [sys.executable, os.path.join(ROOT, "scripts", "parity_ref_runner.py"),
             f"--model={model}", f"--seed={seed}", f"--max_epoch={max_epoch}",
             f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS.get(model, [])]
+    if fix_topk:
+        # corrected top-K (the fork's find_k_largest duplicates first-K
+        # ids — see parity_ref_runner.install_fixed_topk)
+        argv.append("--fix_topk")
     t0 = time.time()
     proc = subprocess.run(
         argv, cwd=SANDBOX, capture_output=True, text=True,
         timeout=3600, check=False,
     )
     wall = time.time() - t0
-    log_path = os.path.join(log_dir, f"ref_{model}_s{seed}.log")
+    tag = "ref_fixed" if fix_topk else "ref"
+    log_path = os.path.join(log_dir, f"{tag}_{model}_s{seed}.log")
     with open(log_path, "w") as f:
         f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
     if proc.returncode != 0:
@@ -188,11 +193,13 @@ def run_reference(model: str, seed: int, max_epoch: int, early_stop: int,
     return dict(metrics=rows, wall_s=wall)
 
 
-def run_rebuild(model: str, seed: int, max_epoch: int, early_stop: int) -> dict | None:
+def run_rebuild(model: str, seed: int, max_epoch: int, early_stop: int,
+                sampler: str = "redraw") -> dict | None:
     from hypergraph_diffusion_for_recommendation_tpu import cli
 
     argv = [f"--model={model}", f"--seed={seed}", f"--max_epoch={max_epoch}",
             f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS.get(model, []),
+            f"--sampler={sampler}",
             "--data_dir", os.path.join(SANDBOX, "dataset"),
             "--output_dir", os.path.join(OUT_DIR, "rebuild_results"),
             "--item_ranking", "10,20,40", "--quiet"]
@@ -347,7 +354,9 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--side", choices=["ref", "rebuild", "both", "report"],
+    ap.add_argument("--side",
+                    choices=["ref", "rebuild", "both", "report", "ref_fixed",
+                             "rebuild_exact"],
                     default="both")
     ap.add_argument("--models", type=str,
                     default=",".join(MODEL_FLAGS))
@@ -362,27 +371,32 @@ def main() -> None:
     log_dir = os.path.join(OUT_DIR, "logs")
     os.makedirs(log_dir, exist_ok=True)
 
-    if args.side in ("ref", "both"):
+    if args.side in ("ref", "both", "ref_fixed"):
+        fix = args.side == "ref_fixed"
+        tag = "ref_fixed" if fix else "ref"
         for model in models:
             if model in REF_BLOCKED:
                 print(f"REF {model}: blocked — {REF_BLOCKED[model][:80]}")
                 continue
             for seed in seeds:
                 res = run_reference(model, seed, args.max_epoch,
-                                    args.early_stopping_steps, log_dir)
+                                    args.early_stopping_steps, log_dir,
+                                    fix_topk=fix)
                 if res:
-                    append_rows([flatten(model, "ref", seed, args.max_epoch, res)])
-                    print(f"REF {model} seed {seed}: recall@20="
+                    append_rows([flatten(model, tag, seed, args.max_epoch, res)])
+                    print(f"{tag.upper()} {model} seed {seed}: recall@20="
                           f"{res['metrics'][20]['recall']:.4f} "
                           f"({res['wall_s']:.0f}s)")
-    if args.side in ("rebuild", "both"):
+    if args.side in ("rebuild", "both", "rebuild_exact"):
+        sampler = "exact" if args.side == "rebuild_exact" else "redraw"
+        tag = "rebuild_exact" if args.side == "rebuild_exact" else "rebuild"
         for model in models:
             for seed in seeds:
                 res = run_rebuild(model, seed, args.max_epoch,
-                                  args.early_stopping_steps)
+                                  args.early_stopping_steps, sampler=sampler)
                 if res:
-                    append_rows([flatten(model, "rebuild", seed, args.max_epoch, res)])
-                    print(f"REBUILD {model} seed {seed}: recall@20="
+                    append_rows([flatten(model, tag, seed, args.max_epoch, res)])
+                    print(f"{tag.upper()} {model} seed {seed}: recall@20="
                           f"{res['metrics'][20]['recall']:.4f} "
                           f"({res['wall_s']:.0f}s)")
     write_markdown(args.max_epoch, args.early_stopping_steps)

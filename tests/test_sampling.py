@@ -101,3 +101,85 @@ def test_negatives_avoid_history_csr(tiny_dataset):
     negs = sample_negatives(rng, users, dev.rated_csr, inter.n_items, rounds=8)
     bad = np.asarray(is_rated(dev.rated_pad, users, negs))
     assert bad.sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# --sampler=exact: host-side reference-semantics rejection sampler
+# (VERDICT r3 #1 A/B control)
+
+def test_host_exact_sampler_pairwise(tiny_dataset):
+    from hypergraph_diffusion_for_recommendation_tpu.ops.sampling import (
+        HostExactSampler,
+    )
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    s = HostExactSampler(inter.train_u, inter.train_i, inter.n_items)
+    users, pos, neg = s.pairwise(seed=7, batch_size=256)
+    n = inter.train_u.shape[0]
+    assert users.shape == pos.shape == neg.shape
+    assert users.shape[0] == -(-n // 256) and users.shape[1] == 256
+    hist = {}
+    for u, i in zip(inter.train_u.tolist(), inter.train_i.tolist()):
+        hist.setdefault(u, set()).add(i)
+    for u, p, ng in zip(users.ravel().tolist(), pos.ravel().tolist(),
+                        neg.ravel().tolist()):
+        assert p in hist[u]          # positives are real edges
+        assert ng not in hist[u]     # negatives NEVER in history (exact)
+        assert 0 <= ng < inter.n_items
+    # deterministic per seed
+    again = s.pairwise(seed=7, batch_size=256)
+    assert all(np.array_equal(a, b) for a, b in zip((users, pos, neg), again))
+    other = s.pairwise(seed=8, batch_size=256)
+    assert not np.array_equal(neg, other[2])
+
+
+def test_host_exact_sampler_kg(tiny_kg_dataset):
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_interaction as bi,
+        build_knowledge,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.ops.sampling import (
+        HostExactSampler,
+    )
+
+    train, test, kg_df = tiny_kg_dataset
+    inter = bi(train, test)
+    kg = build_knowledge(kg_df, inter)
+    heads = kg.h[: kg.n_kg_train]
+    rels = kg.r[: kg.n_kg_train]
+    tails = kg.t[: kg.n_kg_train]
+    s = HostExactSampler(
+        inter.train_u, inter.train_i, inter.n_items,
+        kg_heads=heads, kg_relations=rels, kg_tails=tails,
+        n_entities=kg.n_entities,
+    )
+    hh, rr, pt, nt = s.kg_batches(seed=5, n_batches=4, batch_size_kg=128)
+    assert hh.shape == (4, 128) and nt.shape == (4, 128)
+    true_tails = {}
+    for a, b in zip(heads.tolist(), tails.tolist()):
+        true_tails.setdefault(a, set()).add(b)
+    for a, b in zip(hh.ravel().tolist(), nt.ravel().tolist()):
+        assert b not in true_tails.get(a, set())
+        assert 0 <= b < kg.n_entities
+
+
+def test_trainer_exact_sampler_trains(tiny_dataset):
+    """--sampler=exact end-to-end: LightGCN trains a few epochs through
+    the host-batch chunked path and produces finite, improving loss."""
+    from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+    from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+    from hypergraph_diffusion_for_recommendation_tpu.train import Trainer
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    cfg = make_config("LightGCN", batch_size=512, max_epoch=3,
+                      sampler="exact", item_ranking=(10, 20))
+    bundle = build_model(cfg, cf, None)
+    assert bundle.lr_plateau is False  # LightGCN.py:37 — no scheduler
+    tr = Trainer(bundle)
+    assert tr._chunk_steps  # host batches ride the chunked path
+    losses = [tr.run_epoch(e)[0] for e in range(3)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
