@@ -169,11 +169,17 @@ def metrics_from_topk(
 
 def metrics_to_host(metrics: dict, top_ns: tuple[int, ...]) -> dict:
     """Device dict -> {N: {metric: float rounded to 5 (parity with the
-    reference's round(x, 5), evaluation.py:30-97)}}."""
+    reference's round(x, 5), evaluation.py:30-97)}}.
+
+    ONE device_get for the whole dict: per-scalar np.asarray fetches cost
+    a blocking device->host roundtrip EACH — through the axon remote
+    tunnel that was 12 roundtrips = ~315 ms of a 319 ms steady eval
+    (99%% of eval latency; profiled round 4, BENCH_NOTES)."""
+    host = jax.device_get(metrics)
     out = {}
     for k, n in enumerate(top_ns):
         out[int(n)] = {
-            name: round(float(np.asarray(metrics[name][k])), 5)
+            name: round(float(host[name][k]), 5)
             for name in ("hit_ratio", "precision", "recall", "ndcg")
         }
     return out

@@ -71,6 +71,12 @@ class ModelBundle:
     # plain Adam, fixed lr), so the trainer must not anneal for them
     # either (parity: annealing changes the converged optimum).
     lr_plateau: bool = True
+    # early-stopping patience multiplier. Self-att encoders (HGNN/HD2,
+    # HGNN_cp.py:369) plateau early on some seeds before a late recall
+    # climb; patience x2 rides out the plateau (root-caused round 3:
+    # the 1-in-3-seed 0.212-vs-0.37 outlier was an early-stop artifact —
+    # the same seed converges to parity with doubled patience).
+    early_stop_patience_scale: int = 1
 
 
 MODEL_REGISTRY: dict[str, Callable[..., ModelBundle]] = {}

@@ -397,6 +397,10 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None) 
     return ModelBundle(
         name=name, cfg=cfg, cf=cf, kg=kg, uses_kg=True,
         init=init, batch_loss=batch_loss, encode_eval=encode_eval,
+        # self-att recall trajectories plateau early on some seeds before
+        # climbing; double patience rides out the plateau (round-3
+        # root-cause of the HGNN seed outlier)
+        early_stop_patience_scale=2 if use_self_att else 1,
     )
 
 

@@ -651,6 +651,7 @@ class Trainer:
                 self.params, self.opt_state, self.extras, ls, asum = self._chunk_fn(
                     self.params, self.opt_state, self.extras, cb, step_rngs[idx], valid
                 )
+            ls, asum = jax.device_get((ls, asum))  # one roundtrip per chunk
             loss_sum += float(ls)
             a = {k2: float(v) for k2, v in asum.items()}
             aux_sum = a if aux_sum is None else {k2: aux_sum[k2] + a[k2] for k2 in a}
@@ -970,6 +971,10 @@ class Trainer:
         if self.bundle.epoch_update_extras is not None:
             self.rng, ke = jax.random.split(self.rng)
             self.extras = self.bundle.epoch_update_extras(self.params, self.extras, ke)
+        # ONE device_get for loss+aux: per-scalar float() fetches are a
+        # blocking device->host roundtrip each over the remote tunnel
+        # (~25 ms apiece; see metrics_to_host)
+        loss, aux = jax.device_get((loss, aux))
         loss = float(loss)
         # NaN guard — the TPU-native stand-in for the reference's
         # per-batch checks (KGAT.py:96-97,115-116) and
@@ -1093,7 +1098,8 @@ class Trainer:
                     + f" (train {train_t:.2f}s eval {eval_t:.2f}s)"
                 )
             recall_list.append(perf["recall"])
-            _, should_stop = _early_stopping(recall_list, cfg.early_stopping_steps)
+            patience = cfg.early_stopping_steps * self.bundle.early_stop_patience_scale
+            _, should_stop = _early_stopping(recall_list, patience)
             if should_stop and not quiet:
                 log_fn(f"early stop at epoch {ep+1}")
             return should_stop

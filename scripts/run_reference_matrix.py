@@ -55,7 +55,20 @@ BASELINE_ROWS = {
     ("SGL", "add_noise", 10): (0.16548, 0.10207, 0.16607, 0.17303),
 }
 
-DEFAULT_MODELS = ["HGNN", "KHGRec", "LightGCN", "HCCF", "SGL", "SHT", "KGAT", "DHCF"]
+DEFAULT_MODELS = ["HGNN", "KHGRec", "LightGCN", "HCCF", "SGL", "SHT", "KGAT",
+                  "DHCF", "HGNN_HD3"]
+
+# Per-model config overrides for the matrix (VERDICT r3 #2): every model
+# must run in a SANE regime. SGL's pinned parity config (cl_rate 0.01,
+# temp 0.2, node dropout) provably collapses BOTH implementations on
+# planted-cluster data (PARITY_RUNS.md agreement-on-collapse row); the
+# matrix is a robustness artifact, not a pathology probe, so SGL runs
+# with the reference's kwargs-default temp=10 (the recovered regime —
+# CL weight effectively annealed), where both sides reach
+# LightGCN-level recall.
+MODEL_OVERRIDES: dict[str, dict] = {
+    "SGL": {"temp": 10.0},
+}
 HEADER = (
     "Model,Mode,Percentage,Hit Ratio@10,Precision@10,Recall@10,NDCG@10,"
     "Hit Ratio@20,Precision@20,Recall@20,NDCG@20,"
@@ -92,6 +105,7 @@ def run_cell(model: str, experiment: str, pct: int, args) -> dict:
         overrides["noise_pct"] = pct
     if args.max_epoch:
         overrides["max_epoch"] = args.max_epoch
+    overrides.update(MODEL_OVERRIDES.get(model, {}))
     cfg = make_config(model, **overrides)
 
     train, test, kg_df = load_dataset(cfg)
@@ -123,6 +137,11 @@ def main() -> int:
                     help="override epochs (0 = per-model conf default)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="./results/reference_matrix")
+    ap.add_argument("--synthetic_provenance", action="store_true",
+                    help="the data under --data_dir is synthetic even if "
+                         "its directory tag says 'lastfm' (e.g. the parity "
+                         "sandbox): suppresses the real-LastFM reference "
+                         "columns in RESULTS.md")
     ap.add_argument("--force_cpu", type=int, default=0, metavar="N",
                     help="run on N virtual CPU devices instead of the TPU "
                          "(smoke tests; the axon plugin ignores "
@@ -171,28 +190,57 @@ def main() -> int:
             f.write(",".join([model, exp, str(pct)] + [str(v) for v in vals]) + "\n")
 
     md_path = os.path.join(args.out, "RESULTS.md")
+    # the reference's committed rows are REAL-LastFM runs; printing them
+    # beside synthetic-data cells without provenance invited a false
+    # cross-dataset comparison (VERDICT r3 #2). Side-by-side columns only
+    # appear when this run IS real LastFM; otherwise the table is
+    # ours-only and the reference numbers are pointed to, not inlined.
+    real_lastfm = args.dataset == "lastfm" and not args.synthetic_provenance
     with open(md_path, "w") as f:
-        f.write(
-            f"# Robustness matrix — {args.dataset}\n\n"
-            "Side-by-side with the reference's committed numbers "
-            "(BASELINE.md / reference output.csv). Reference cells are "
-            "only available for the rows the reference committed. NOTE: "
-            "when this matrix is run on synthetic data (no real dataset "
-            "ships in this environment), the reference column refers to "
-            "REAL-LastFM runs — compare experiment STRUCTURE and "
-            "degradation trends, not absolute values; absolute parity "
-            "lives in PARITY_RUNS.md (both frameworks on the same "
-            "files).\n\n"
-            "| Model | Experiment | % | Recall@20 (ours) | Recall@20 (ref) | "
-            "NDCG@20 (ours) | NDCG@20 (ref) |\n|---|---|---|---|---|---|---|\n"
-        )
-        for model, exp, pct, vals in rows:
-            r20, n20 = vals[6], vals[7]
-            # reference numbers are LastFM-only (BASELINE.md)
-            ref = BASELINE_ROWS.get((model, exp, pct)) if args.dataset == "lastfm" else None
-            rr = f"{ref[2]}" if ref else "—"
-            rn = f"{ref[3]}" if ref else "—"
-            f.write(f"| {model} | {exp} | {pct} | {r20} | {rr} | {n20} | {rn} |\n")
+        if real_lastfm:
+            f.write(
+                f"# Robustness matrix — {args.dataset} (real dataset)\n\n"
+                "Side-by-side with the reference's committed REAL-LastFM "
+                "numbers (BASELINE.md / reference output.csv). Reference "
+                "cells exist only for the rows the reference committed. "
+                "SGL runs in its recovered regime (temp=10 — see "
+                "MODEL_OVERRIDES), not the collapse config PARITY_RUNS.md "
+                "documents.\n\n"
+                "| Model | Experiment | % | Recall@20 (ours, real LastFM) | "
+                "Recall@20 (ref, real LastFM) | NDCG@20 (ours, real LastFM) "
+                "| NDCG@20 (ref, real LastFM) |\n|---|---|---|---|---|---|---|\n"
+            )
+            for model, exp, pct, vals in rows:
+                r20, n20 = vals[6], vals[7]
+                ref = BASELINE_ROWS.get((model, exp, pct))
+                rr = f"{ref[2]}" if ref else "—"
+                rn = f"{ref[3]}" if ref else "—"
+                f.write(f"| {model} | {exp} | {pct} | {r20} | {rr} | {n20} | {rn} |\n")
+        else:
+            f.write(
+                f"# Robustness matrix — SYNTHETIC data (dataset tag "
+                f"'{args.dataset}')\n\n"
+                "DATA PROVENANCE: every cell below is planted-cluster "
+                "SYNTHETIC data (no real dataset ships in this "
+                "offline environment — the reference gitignores its "
+                "dataset/). The reference's committed numbers are "
+                "REAL-LastFM runs and are deliberately NOT printed beside "
+                "these cells: absolute values across different datasets "
+                "are not comparable. What this artifact demonstrates is "
+                "the experiment MATRIX (cold-start quartiles, missing "
+                "10-50%, noise 10-50%) running end-to-end with sane "
+                "degradation trends per model. For absolute "
+                "implementation parity on byte-identical data see "
+                "PARITY_RUNS.md; for the reference's own numbers see "
+                "BASELINE.md. SGL runs in its recovered regime (temp=10, "
+                "MODEL_OVERRIDES) — its pinned parity config collapses "
+                "BOTH implementations (PARITY_RUNS.md).\n\n"
+                "| Model | Experiment | % | Recall@20 (ours, synthetic) | "
+                "NDCG@20 (ours, synthetic) |\n|---|---|---|---|---|\n"
+            )
+            for model, exp, pct, vals in rows:
+                r20, n20 = vals[6], vals[7]
+                f.write(f"| {model} | {exp} | {pct} | {r20} | {n20} |\n")
     print(f"wrote {csv_path} and {md_path}")
     return 0
 
