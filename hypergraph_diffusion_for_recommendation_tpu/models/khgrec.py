@@ -300,12 +300,14 @@ def _build_khgrec_like(
             from ..data.device import blockdiag_pair
 
             joint = blockdiag_pair(cf.adj, kg.kg_adj)
-        return _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint)
+        return _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint,
+                              use_self_att=use_self_att)
 
     return builder
 
 
-def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None) -> ModelBundle:
+def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None,
+                   use_self_att=False) -> ModelBundle:
     keep = 1.0 - cfg.drop_rate
 
     def init(rng):

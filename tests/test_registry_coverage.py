@@ -34,3 +34,35 @@ def test_all_reference_models_registered():
 def test_registry_size():
     # 34+ registered models
     assert len(MODEL_REGISTRY) >= 34, sorted(MODEL_REGISTRY)
+
+
+def test_kg_family_bundles_build(tiny_kg_dataset):
+    """BUILD (not train) every KG-family bundle: constructor-level
+    regressions (e.g. a NameError in a shared _finish_bundle) must fail
+    the fast tier, not surface mid-sweep."""
+    from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_cf_device_data,
+        build_interaction,
+        build_kg_device_data,
+        build_knowledge,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.models import (
+        build_model,
+        model_data_needs,
+    )
+
+    train, test, kg_df = tiny_kg_dataset
+    inter = build_interaction(train, test)
+    kg = build_knowledge(kg_df, inter)
+    for name in ("KHGRec", "HGNN", "HD2", "HGNNAblation", "KGAT"):
+        cf = build_cf_device_data(inter, needs=model_data_needs(name))
+        kgd = build_kg_device_data(kg)
+        cfg = make_config(name, batch_size=256, batch_size_kg=256,
+                          hyper_dim=16, relation_dim=8, max_epoch=1)
+        bundle = build_model(cfg, cf, kgd)
+        assert bundle.uses_kg
+        if name in ("HGNN", "HD2"):
+            assert bundle.early_stop_patience_scale == 2
+        else:
+            assert bundle.early_stop_patience_scale == 1

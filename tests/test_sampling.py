@@ -183,3 +183,21 @@ def test_trainer_exact_sampler_trains(tiny_dataset):
     losses = [tr.run_epoch(e)[0] for e in range(3)]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_lr_plateau_and_patience_flags(tiny_dataset):
+    """Reference-parity trainer behavior flags: LightGCN (no scheduler in
+    LightGCN.py) must not anneal; self-att bundles (HGNN) double their
+    early-stop patience (round-3 seed-outlier root cause)."""
+    from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+    from hypergraph_diffusion_for_recommendation_tpu.models import build_model
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cf = build_cf_device_data(inter, eval_user_multiple=64)
+    lg = build_model(make_config("LightGCN", batch_size=512, max_epoch=1), cf, None)
+    assert lg.lr_plateau is False and lg.early_stop_patience_scale == 1
+    sgl = build_model(make_config("SGL", batch_size=512, max_epoch=1), cf, None)
+    assert sgl.lr_plateau is False
+    hccf = build_model(make_config("HCCF", batch_size=512, max_epoch=1), cf, None)
+    assert hccf.lr_plateau is True  # HCCF.py steps ReduceLROnPlateau
