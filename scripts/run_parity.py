@@ -366,10 +366,12 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
         "pathological config is itself strong parity evidence; with CL "
         "weakened (the reference's kwargs-default temp=10) both sides "
         "recover toward LightGCN-level recall.",
-        "- **HCCF / DHCF / SHT** show large reference-side seed variance "
-        "under the corrected eval (e.g. HCCF ref_fixed 0.208-0.284) — "
-        "their recall trajectories plateau long before a late climb, so "
-        "patience-15 stopping is seed-lottery on both sides.",
+        "- **HCCF / SHT** show large reference-side seed variance under "
+        "the corrected eval (HCCF ref_fixed ±0.039, SHT ±0.027 — vs the "
+        "rebuild's ±0.003) — their recall trajectories plateau long "
+        "before a late climb, so patience-15 stopping is seed-lottery; "
+        "the rebuild's on-device epoch is deterministic enough to sit "
+        "consistently at the top of the reference's seed range.",
         "",
         "## Reference-side blocked models (exact errors, verified by invocation)",
         "",
