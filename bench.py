@@ -210,7 +210,7 @@ def main() -> None:
     # the dedup gather layout (1.89-1.92x measured, parity/probe_layouts
     # .out). Driver-visible so a regression in the dedup/auto-select
     # path shows in the JSON, not just in a committed probe artifact.
-    from hypergraph_diffusion_for_recommendation_tpu.data.device import BlockedCOO
+    from hypergraph_diffusion_for_recommendation_tpu.ops.pallas import BlockedCOO
 
     dedup_auto = None
     ml1m_epoch_s = None
