@@ -139,11 +139,12 @@ def eval_three_ways(npz_path: str, top_ns=(10, 20, 40)) -> dict:
     # --- stack 1: true top-k (stable ties) + reference formulas
     def true_rec_list():
         rec = {}
+        ar = np.arange(scores.shape[1])
         for row, u in enumerate(users):
             c = scores[row]
-            part = np.argpartition(-c, max_n - 1)[:max_n]
-            order = np.lexsort((part, -c[part]))  # score desc, id asc ties
-            ids = part[order]
+            # full stable sort (score desc, id asc): argpartition is
+            # arbitrary about boundary-tied items
+            ids = np.lexsort((ar, -c))[:max_n]
             rec[u] = list(zip(ids.tolist(), c[ids].tolist()))
         return rec
 
