@@ -67,7 +67,10 @@ DEFAULT_MODELS = ["HGNN", "KHGRec", "LightGCN", "HCCF", "SGL", "SHT", "KGAT",
 # CL weight effectively annealed), where both sides reach
 # LightGCN-level recall.
 MODEL_OVERRIDES: dict[str, dict] = {
-    "SGL": {"temp": 10.0},
+    # the reference's kwargs defaults (main.py: temp=10, cl_rate=0.01)
+    # — the conf-mirror defaults (temp=0.2, cl_rate=0.1) are the
+    # collapse regime on planted-cluster data
+    "SGL": {"temp": 10.0, "cl_rate": 0.01},
 }
 HEADER = (
     "Model,Mode,Percentage,Hit Ratio@10,Precision@10,Recall@10,NDCG@10,"
