@@ -226,9 +226,10 @@ def main() -> None:
             m_inter, eval_user_multiple=512, needs=model_data_needs("KHGRec")
         )
         m_kgd = build_kg_device_data(m_kg)
+        # the pallas layout hangs off the SparseCOO as .blocked
+        _blk = getattr(m_cf.adj.fwd, "blocked", None)
         dedup_auto = bool(
-            isinstance(m_cf.adj.fwd, BlockedCOO)
-            and getattr(m_cf.adj.fwd, "ucols", None) is not None
+            isinstance(_blk, BlockedCOO) and getattr(_blk, "ucols", None) is not None
         )
         m_cfg = make_config(
             "KHGRec", batch_size=2048, batch_size_kg=8192, hyper_dim=128,
