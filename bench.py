@@ -262,13 +262,23 @@ def main() -> None:
     # flagship; secondary ml1m_* fields track the dedup path
     baseline_eps = 10_000.0  # ESTIMATE — reference publishes no throughput
     expected_warmup_s = 30.0
-    # module-regression test: warmup vs expectation, SCALED by today's
-    # lottery draw (control module), with 4x headroom
-    compile_budget_ok = warmup_s < expected_warmup_s * lottery_scale * 4.0
-    warmup_class = (
-        "ok" if warmup_s < expected_warmup_s * 4.0
-        else ("lottery-slow" if compile_budget_ok else "module-regressed")
-    )
+    # Warmup classification. Two independent noise sources: (a) service
+    # -wide slowness — caught by the pinned control module; (b) PER-
+    # MODULE compile variance — the SAME flagship module has drawn
+    # 24-634 s across runs with a fast control (BENCH_NOTES), so a slow
+    # warmup with a fast control is usually the documented per-module
+    # band, not a regression. Only a draw beyond the historical band
+    # (with a fast control) reads as module-regressed.
+    LOTTERY_BAND_S = 650.0  # max observed for byte-identical modules
+    if warmup_s < expected_warmup_s * 4.0:
+        warmup_class = "ok"
+    elif lottery_scale > 2.0:
+        warmup_class = "lottery-slow"  # control slow: service-wide
+    elif warmup_s <= LOTTERY_BAND_S:
+        warmup_class = "lottery-spread"  # within the per-module band
+    else:
+        warmup_class = "module-regressed"
+    compile_budget_ok = warmup_class != "module-regressed"
     print(
         json.dumps(
             {
