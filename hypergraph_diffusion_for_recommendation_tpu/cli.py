@@ -64,6 +64,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--conv_dim_list", type=str, default=None, help="e.g. '[64, 32, 16]'")
     p.add_argument("--mess_dropout", type=str, default=None, help="e.g. '[0.1, 0.1, 0.1]'")
     p.add_argument("--early_stopping_steps", type=int, default=None)
+    p.add_argument("--early_stop_smooth", type=int, default=None,
+                   help="trailing moving-average window for the early-stop "
+                        "signal (1 = reference-parity raw recall; >1 smooths "
+                        "the patience signal against plateau-lottery stops)")
     p.add_argument("--evaluate_every", type=int, default=None)
     # accepted for reference run-script compatibility (main.py:16,87-89):
     # gpu_id is meaningless on TPU; print cadences map to log verbosity
@@ -115,7 +119,8 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         "batch_size_kg", "n_layers", "embedding_size", "input_dim", "relation_dim",
         "hyper_dim", "lr_decay", "weight_decay", "reg", "reg_kg", "p", "drop_rate",
         "nheads", "temp", "cl_rate", "mode", "aug_type", "laplacian_type",
-        "aggregation_type", "early_stopping_steps", "evaluate_every",
+        "aggregation_type", "early_stopping_steps", "early_stop_smooth",
+        "evaluate_every",
         "mesh_data", "mesh_model", "shard_graph", "gather_layout", "sampler",
         "output_dir", "save_checkpoints", "resume",
     ):

@@ -62,6 +62,11 @@ class Config:
     conv_dim_list: Sequence[int] = (64, 32, 16)
     mess_dropout: Sequence[float] = (0.1, 0.1, 0.1)
     early_stopping_steps: int = 30
+    # trailing moving-average window for the early-stop signal (1 =
+    # reference-parity raw series; >1 smooths the patience signal so a
+    # single noisy recall spike can't anchor `best` early and stop the
+    # run in a bad basin — see scripts/stopping_rule_ab.py for the A/B)
+    early_stop_smooth: int = 1
     evaluate_every: int = 1
     item_ranking: Sequence[int] = (10, 20, 40)  # top-N cutoffs
 

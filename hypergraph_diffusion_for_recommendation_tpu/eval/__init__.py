@@ -1,13 +1,33 @@
 from .metrics import metrics_to_host, ranking_metrics
 
 
-def early_stopping(recall_list: list[float], stopping_steps: int) -> tuple[float, bool]:
+def early_stopping(
+    recall_list: list[float], stopping_steps: int, smooth: int = 1
+) -> tuple[float, bool]:
     """Stop when Recall has not improved for `stopping_steps` epochs —
-    parity with reference util/evaluation.py:195-202."""
-    best_recall = max(recall_list)
-    best_step = recall_list.index(best_recall)
-    should_stop = len(recall_list) - best_step - 1 >= stopping_steps
-    return best_recall, should_stop
+    parity with reference util/evaluation.py:195-202 at smooth=1.
+
+    smooth>1 runs the same patience rule on a trailing moving average of
+    width `smooth`: a single noisy recall spike then can't anchor `best`
+    early and time out patience while the underlying trajectory is still
+    climbing (the HCCF/SHT plateau-lottery failure mode — PARITY_RUNS.md
+    outlier notes). Only the stop DECISION changes; callers keep
+    selecting the best model from raw per-epoch metrics, so smoothing
+    can only trade extra epochs for robustness, never degrade the
+    converged number. A/B evidence: scripts/stopping_rule_ab.py.
+    """
+    if smooth > 1:
+        sig = [
+            sum(recall_list[max(0, i - smooth + 1): i + 1])
+            / (i + 1 - max(0, i - smooth + 1))
+            for i in range(len(recall_list))
+        ]
+    else:
+        sig = recall_list
+    best = max(sig)
+    best_step = sig.index(best)
+    should_stop = len(sig) - best_step - 1 >= stopping_steps
+    return best, should_stop
 
 
 __all__ = ["ranking_metrics", "metrics_to_host", "early_stopping"]

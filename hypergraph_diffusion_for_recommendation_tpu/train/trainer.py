@@ -1099,7 +1099,9 @@ class Trainer:
                 )
             recall_list.append(perf["recall"])
             patience = cfg.early_stopping_steps * self.bundle.early_stop_patience_scale
-            _, should_stop = _early_stopping(recall_list, patience)
+            _, should_stop = _early_stopping(
+                recall_list, patience, cfg.early_stop_smooth
+            )
             if should_stop and not quiet:
                 log_fn(f"early stop at epoch {ep+1}")
             return should_stop
@@ -1197,7 +1199,10 @@ def _sequence_epoch_batches(rng, seq_data, batch_size, rounds):
     return seq, pos, y, neg, valid
 
 
-def _early_stopping(recall_list, stopping_steps):
-    best = max(recall_list)
-    best_step = recall_list.index(best)
-    return best, len(recall_list) - best_step - 1 >= stopping_steps
+def _early_stopping(recall_list, stopping_steps, smooth: int = 1):
+    """Patience stopping on the per-epoch recall series; smooth>1 runs
+    the patience rule on a trailing moving average (the full rationale
+    and the reference citation live on eval.early_stopping)."""
+    from ..eval import early_stopping
+
+    return early_stopping(recall_list, stopping_steps, smooth)

@@ -104,6 +104,31 @@ def test_early_stopping_parity():
     assert early_stopping([0.1, 0.2, 0.15, 0.14], 2) == (0.2, True)
 
 
+def test_early_stopping_smooth_window_one_is_reference_rule():
+    series = [0.1, 0.25, 0.2, 0.19, 0.18, 0.21]
+    for steps in (1, 2, 3, 5):
+        assert early_stopping(series, steps) == early_stopping(series, steps, smooth=1)
+
+
+def test_early_stopping_smooth_survives_spike():
+    """A lone spike at epoch 2 anchors the raw rule's best; with the
+    trajectory still climbing underneath, raw patience-3 stops while the
+    smoothed signal keeps rising and does not."""
+    series = [0.10, 0.30, 0.20, 0.24, 0.28]
+    assert early_stopping(series, 3)[1] is True  # raw: spike is 3 epochs old
+    best, stop = early_stopping(series, 3, smooth=3)
+    assert stop is False
+    assert best < 0.30  # best is a window mean, not the raw spike
+
+
+def test_early_stopping_smooth_still_stops_on_plateau():
+    """Smoothing must not disable stopping: once the smoothed series has
+    genuinely peaked, patience still fires (shifted by at most ~window)."""
+    series = [0.1, 0.2, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3]
+    _, stop = early_stopping(series, 3, smooth=3)
+    assert stop is True
+
+
 def test_metrics_from_topk_matches_ranking_metrics(tiny_dataset):
     """The precomputed-ids path (distributed eval) must equal the fused path."""
     import jax.numpy as jnp
