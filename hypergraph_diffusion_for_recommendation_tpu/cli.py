@@ -68,6 +68,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="trailing moving-average window for the early-stop "
                         "signal (1 = reference-parity raw recall; >1 smooths "
                         "the patience signal against plateau-lottery stops)")
+    p.add_argument("--early_stop_patience_scale", type=int, default=None,
+                   help="patience multiplier: 0 = model default (x2 for "
+                        "self-att encoders and HCCF, whose measured recall "
+                        "troughs outlast the standard patience); explicit "
+                        "value pins it (1 = reference protocol)")
     p.add_argument("--evaluate_every", type=int, default=None)
     # accepted for reference run-script compatibility (main.py:16,87-89):
     # gpu_id is meaningless on TPU; print cadences map to log verbosity
@@ -120,7 +125,7 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         "hyper_dim", "lr_decay", "weight_decay", "reg", "reg_kg", "p", "drop_rate",
         "nheads", "temp", "cl_rate", "mode", "aug_type", "laplacian_type",
         "aggregation_type", "early_stopping_steps", "early_stop_smooth",
-        "evaluate_every",
+        "early_stop_patience_scale", "evaluate_every",
         "mesh_data", "mesh_model", "shard_graph", "gather_layout", "sampler",
         "output_dir", "save_checkpoints", "resume",
     ):

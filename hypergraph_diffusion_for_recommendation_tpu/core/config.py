@@ -67,6 +67,11 @@ class Config:
     # single noisy recall spike can't anchor `best` early and stop the
     # run in a bad basin — see scripts/stopping_rule_ab.py for the A/B)
     early_stop_smooth: int = 1
+    # patience multiplier override: 0 = the model bundle's default
+    # (x2 for self-att encoders and HCCF, whose measured recall troughs
+    # outlast patience-15 — models/base.py early_stop_patience_scale);
+    # an explicit value pins it, e.g. 1 for reference-protocol parity
+    early_stop_patience_scale: int = 0
     evaluate_every: int = 1
     item_ranking: Sequence[int] = (10, 20, 40)  # top-N cutoffs
 

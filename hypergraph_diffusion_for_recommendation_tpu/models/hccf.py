@@ -110,4 +110,13 @@ def build_hccf(cfg: Config, cf: CFDeviceData, kg=None) -> ModelBundle:
         name="HCCF", cfg=cfg, cf=cf, kg=None, uses_kg=False,
         init=init, batch_loss=batch_loss, encode_eval=encode_eval,
         grad_clip_norm=4.0,
+        # HCCF's recall trajectory peaks early (~ep 13), dips for ~22
+        # epochs, then climbs well past the early peak — a measured
+        # trough LONGER than the usual patience-15, so raw (and
+        # smoothed: results/stopping_rule_ab/RESULTS.md) stopping
+        # abandons unlucky seeds in the dip (1-in-9 seeds at 0.196 vs
+        # the 0.28-0.30 cluster; the same seed reaches 0.295 with
+        # stopping disabled). x2 patience rides out the trough — same
+        # product call as the self-att models (khgrec.py:405).
+        early_stop_patience_scale=2,
     )

@@ -1098,7 +1098,12 @@ class Trainer:
                     + f" (train {train_t:.2f}s eval {eval_t:.2f}s)"
                 )
             recall_list.append(perf["recall"])
-            patience = cfg.early_stopping_steps * self.bundle.early_stop_patience_scale
+            scale = (
+                cfg.early_stop_patience_scale
+                if cfg.early_stop_patience_scale > 0
+                else self.bundle.early_stop_patience_scale
+            )
+            patience = cfg.early_stopping_steps * scale
             _, should_stop = _early_stopping(
                 recall_list, patience, cfg.early_stop_smooth
             )

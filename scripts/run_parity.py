@@ -53,6 +53,14 @@ DATASET = dict(n_users=800, n_items=600, n_clusters=8, mean_degree=30.0,
 # dropout/leaky come from its conf file on the reference side
 # (HCCF.py:52-55); the pins below equal those conf values.
 COMMON = ["--dataset=lastfm", "--batch_size=2048", "--lrate=0.001"]
+# Rebuild-only pins that hold the rebuild to the REFERENCE'S stopping
+# SIGNAL: the reference has no smoothed stopping, so parity rows use the
+# raw recall series even if smoothing ever becomes a model default.
+# Patience SCALE is deliberately NOT pinned — per the accepted round-4
+# protocol (VERDICT r3 #3), the rebuild runs with its product patience
+# defaults (x2 for self-att bundles and HCCF, whose measured recall
+# troughs outlast patience-15; results/stopping_rule_ab/RESULTS.md).
+REBUILD_PINS = ["--early_stop_smooth=1"]
 MODEL_FLAGS: dict[str, list[str]] = {
     "LightGCN": ["--reg=0.1", "--weight_decay=5e-6"],
     "HCCF": ["--reg=0.01", "--n_layers=2", "--hyper_dim=128",
@@ -198,7 +206,8 @@ def run_rebuild(model: str, seed: int, max_epoch: int, early_stop: int,
     from hypergraph_diffusion_for_recommendation_tpu import cli
 
     argv = [f"--model={model}", f"--seed={seed}", f"--max_epoch={max_epoch}",
-            f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS.get(model, []),
+            f"--early_stopping_steps={early_stop}", *COMMON, *REBUILD_PINS,
+            *MODEL_FLAGS.get(model, []),
             f"--sampler={sampler}",
             "--data_dir", os.path.join(SANDBOX, "dataset"),
             "--output_dir", os.path.join(OUT_DIR, "rebuild_results"),

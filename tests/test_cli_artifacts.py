@@ -46,6 +46,16 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert ids.shape == (1, 5) and np.isfinite(scores).all()
 
 
+def test_cli_early_stop_smooth_plumbs_to_config():
+    from hypergraph_diffusion_for_recommendation_tpu import cli
+
+    args = cli.parse_args(["--model=HCCF", "--early_stop_smooth=5"])
+    assert cli.build_config(args).early_stop_smooth == 5
+    # omitted -> model/global default (reference-parity raw rule)
+    args = cli.parse_args(["--model=LightGCN"])
+    assert cli.build_config(args).early_stop_smooth == 1
+
+
 def test_checkpoint_resume(tmp_path, tiny_dataset):
     from hypergraph_diffusion_for_recommendation_tpu.core import make_config
     from hypergraph_diffusion_for_recommendation_tpu.data import (
