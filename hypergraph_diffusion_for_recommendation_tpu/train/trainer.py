@@ -1059,6 +1059,8 @@ class Trainer:
         best_params = self.params
         best_extras = self.extras
         recall_list: list[float] = []
+        loss_list: list[float] = []
+        frozen_warned = False
         examples = 0
         train_time_total = 0.0
 
@@ -1070,7 +1072,7 @@ class Trainer:
             pytree or None to reuse the previous epoch's metrics
             (evaluate_every cadence, reference main.py:92-93); `snap` is
             the (params, extras) the eval was computed from."""
-            nonlocal best_perf, best_params, best_extras, last_metrics
+            nonlocal best_perf, best_params, best_extras, last_metrics, frozen_warned
             if dev_metrics is not None:
                 metrics = metrics_to_host(dev_metrics, tuple(cfg.top_ns))
                 last_metrics = metrics
@@ -1098,6 +1100,24 @@ class Trainer:
                     + f" (train {train_t:.2f}s eval {eval_t:.2f}s)"
                 )
             recall_list.append(perf["recall"])
+            # frozen-training detection: with fresh random negatives every
+            # epoch, a BIT-IDENTICAL total loss over many epochs means the
+            # parameters have stopped moving — observed when embedding
+            # norms decay to zero under strong (unsquared-L2) reg and the
+            # loss pins at the zero-score value (SHT under the pinned
+            # parity config: loss frozen at ln4, recall frozen mid-run —
+            # results/stopping_rule_ab/RESULTS.md finding 3). Warn once so
+            # the run log explains itself instead of silently flatlining.
+            loss_list.append(float(loss))
+            if not frozen_warned and _loss_frozen(loss_list):
+                frozen_warned = True
+                log_fn(
+                    f"WARNING: training appears FROZEN — identical epoch "
+                    f"loss {loss:.6f} for {_FROZEN_EPOCHS} consecutive "
+                    f"epochs despite fresh negative samples. Embedding "
+                    f"norms have likely collapsed to zero (strong reg?); "
+                    f"metrics will not improve past this point."
+                )
             scale = (
                 cfg.early_stop_patience_scale
                 if cfg.early_stop_patience_scale > 0
@@ -1202,6 +1222,20 @@ def _sequence_epoch_batches(rng, seq_data, batch_size, rounds):
     # zero out padded positions so they never contribute
     neg = jnp.where(y > 0, neg, 0)
     return seq, pos, y, neg, valid
+
+
+_FROZEN_EPOCHS = 10
+
+
+def _loss_frozen(loss_list: list[float], n: int = _FROZEN_EPOCHS) -> bool:
+    """True when the last n epoch losses are bit-identical. Each epoch
+    draws fresh random negatives, so an identical float total loss n
+    epochs running implies the parameters (and the sampler's view of
+    them) have stopped changing — the norm-collapse freeze signature."""
+    if len(loss_list) < n:
+        return False
+    tail = loss_list[-n:]
+    return all(x == tail[0] for x in tail)
 
 
 def _early_stopping(recall_list, stopping_steps, smooth: int = 1):

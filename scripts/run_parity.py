@@ -398,6 +398,16 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
         "RNG streams are framework-specific (torch vs JAX), so per-seed "
         "values are not expected to match pairwise — only the converged "
         "distributions (mean ± std) are comparable.",
+        "",
+        "Stopping-protocol note: rebuild rows run under the product's "
+        "stopping defaults at generation time (the raw reference stopping "
+        "SIGNAL is pinned via --early_stop_smooth=1; patience SCALE "
+        "follows the model bundle — x2 for self-att models per the "
+        "round-3 HGNN root cause, and x2 for HCCF as of round 4). The "
+        "committed HCCF rows predate the HCCF default and ran at raw "
+        "patience; its 1-in-9 collapsed seed (0.196) is a stopping "
+        "artifact the product default removes — full A/B and no-stop "
+        "controls in results/stopping_rule_ab/RESULTS.md.",
     ]
     with open(MD_PATH, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -121,6 +121,21 @@ def test_early_stopping_smooth_survives_spike():
     assert best < 0.30  # best is a window mean, not the raw spike
 
 
+def test_loss_frozen_detector():
+    """Bit-identical tail of epoch losses => frozen (the SHT norm-collapse
+    signature); any jitter, or too-short history, => not frozen."""
+    from hypergraph_diffusion_for_recommendation_tpu.train.trainer import (
+        _FROZEN_EPOCHS,
+        _loss_frozen,
+    )
+
+    frozen_tail = [1.5, 1.4] + [1.387641] * _FROZEN_EPOCHS
+    assert _loss_frozen(frozen_tail) is True
+    assert _loss_frozen([1.387641] * (_FROZEN_EPOCHS - 1)) is False
+    jitter = [1.5, 1.4] + [1.387641] * (_FROZEN_EPOCHS - 1) + [1.387642]
+    assert _loss_frozen(jitter) is False
+
+
 def test_early_stopping_smooth_still_stops_on_plateau():
     """Smoothing must not disable stopping: once the smoothed series has
     genuinely peaked, patience still fires (shifted by at most ~window)."""
