@@ -368,10 +368,15 @@ def main() -> None:
             r = roofline(
                 stats.get("flops", 0.0), stats.get("bytes accessed", 0.0), step_s
             )
+            # NOTE: bytes come from XLA's analytic cost model, which
+            # counts each fused operand access — on-chip reuse inside
+            # fusions is over-counted, so >100% of physical peak is
+            # possible and simply reads "at the HBM roof".
+            hbm_note = " (analytic bytes; >=100% = at the roof)" if r["hbm_util"] >= 1.0 else ""
             log(
                 f"train-step roofline: {r['achieved_tflops']:.2f} TFLOP/s "
                 f"(MFU {r['mfu']*100:.1f}%), {r['achieved_gbps']:.0f} GB/s "
-                f"(HBM {r['hbm_util']*100:.1f}%), intensity "
+                f"(HBM {r['hbm_util']*100:.1f}%{hbm_note}), intensity "
                 f"{r['arithmetic_intensity']:.1f} flop/B "
                 f"(ridge {r['ridge_intensity']:.0f})"
             )
