@@ -56,6 +56,38 @@ def test_cli_early_stop_smooth_plumbs_to_config():
     assert cli.build_config(args).early_stop_smooth == 1
 
 
+def test_hccf_patience_default_and_override(tiny_dataset):
+    """HCCF's x2 patience bundle default (22-epoch recall trough,
+    results/stopping_rule_ab) must engage unless the config pins a
+    scale; LightGCN stays at the raw reference rule."""
+    from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_cf_device_data,
+        build_interaction,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.models import (
+        build_model,
+        model_data_needs,
+    )
+
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+
+    def scale_for(model, **kw):
+        cfg = make_config(model, max_epoch=1, **kw)
+        cf = build_cf_device_data(inter, needs=model_data_needs(model))
+        bundle = build_model(cfg, cf, None)
+        return (
+            cfg.early_stop_patience_scale
+            if cfg.early_stop_patience_scale > 0
+            else bundle.early_stop_patience_scale
+        )
+
+    assert scale_for("HCCF") == 2
+    assert scale_for("HCCF", early_stop_patience_scale=1) == 1
+    assert scale_for("LightGCN") == 1
+
+
 def test_checkpoint_resume(tmp_path, tiny_dataset):
     from hypergraph_diffusion_for_recommendation_tpu.core import make_config
     from hypergraph_diffusion_for_recommendation_tpu.data import (
