@@ -11,10 +11,12 @@ def early_stopping(
     width `smooth`: a single noisy recall spike then can't anchor `best`
     early and time out patience while the underlying trajectory is still
     climbing (the HCCF/SHT plateau-lottery failure mode — PARITY_RUNS.md
-    outlier notes). Only the stop DECISION changes; callers keep
-    selecting the best model from raw per-epoch metrics, so smoothing
-    can only trade extra epochs for robustness, never degrade the
-    converged number. A/B evidence: scripts/stopping_rule_ab.py.
+    outlier notes). Only the stop DECISION changes; best-model selection
+    stays on raw per-epoch metrics. Note the stop may fire earlier OR
+    later than the raw rule (a smoothed series can peak before the raw
+    one), so the guarantee is only about which checkpoint is selected,
+    not about how long training runs. A/B evidence:
+    scripts/stopping_rule_ab.py (measured no-op on the parity protocol).
     """
     if smooth > 1:
         sig = [

@@ -18,6 +18,7 @@ Parity points:
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -328,6 +329,13 @@ class Trainer:
                     self._build_epoch_fn(), donate_args=_DONATE3
                 )
         self._eval_fn = _jit_hoisted(self._build_eval_fn())
+        # split encode/score eval with an identity-keyed encode cache
+        # (single-device path only; see _eval_dev_metrics)
+        self._encode_cache = None
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            self._encode_fn = self._score_fn = None
+        else:
+            self._encode_fn, self._score_fn = self._build_eval_split_fns()
 
     def _resolve_chunk_steps(self) -> int:
         """Steps per device execution: 0 = whole epoch in one execution.
@@ -954,6 +962,54 @@ class Trainer:
 
         return eval_fn
 
+    def _build_eval_split_fns(self):
+        """Encode / score halves of the single-device eval, so repeated
+        evals under UNCHANGED (params, extras) skip the full-graph encode
+        — at bench scale the encode is ~2/3 of eval device time and
+        scales with nnz (VERDICT r4 weak #6). The mesh path keeps the
+        fused fn (its encode output is sharded; splitting would
+        materialise the gathered tables)."""
+        bundle = self.bundle
+        cfg = self.cfg
+        cf = bundle.cf
+        top_ns = tuple(cfg.top_ns)
+
+        def encode_fn(params, extras):
+            return bundle.encode_eval(params, extras)
+
+        def score_fn(u_emb, i_emb):
+            return ranking_metrics(
+                u_emb, i_emb, cf.rated_pad, cf.eval_data, top_ns,
+                block=cfg.eval_user_batch,
+            )
+
+        return _jit_hoisted(encode_fn), _jit_hoisted(score_fn)
+
+    def _eval_dev_metrics(self):
+        """Device metric pytree for the CURRENT (params, extras), reusing
+        the cached encode when both are the same objects as last time.
+
+        The cache key holds the actual first leaves of params/extras and
+        compares by `is` — identity can't false-positive (we keep the
+        leaf alive, so its id can't be recycled), and any epoch/restore/
+        assignment produces new leaf objects, so staleness is impossible.
+        Disable with HGDR_EVAL_CACHE=0 (the equivalence control)."""
+        if (
+            self._encode_fn is None
+            or os.environ.get("HGDR_EVAL_CACHE", "1") == "0"
+        ):
+            return self._eval_fn(self.params, self.extras)
+        pk = jax.tree.leaves(self.params)[0]
+        ek_leaves = jax.tree.leaves(self.extras)
+        ek = ek_leaves[0] if ek_leaves else None
+        cached = self._encode_cache
+        if cached is not None and cached[0] is pk and cached[1] is ek:
+            encoded = cached[2]
+        else:
+            encoded = self._encode_fn(self.params, self.extras)
+            self._encode_cache = (pk, ek, encoded)
+        return self._score_fn(*encoded)
+
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int) -> tuple[float, dict]:
         self.rng, k = jax.random.split(self.rng)
@@ -1001,7 +1057,7 @@ class Trainer:
         return out
 
     def evaluate(self) -> dict:
-        m = self._eval_fn(self.params, self.extras)
+        m = self._eval_dev_metrics()
         return metrics_to_host(m, tuple(self.cfg.top_ns))
 
     def restore(self, ckpt) -> int:
@@ -1149,7 +1205,7 @@ class Trainer:
             train_time_total += t1 - t0
 
             do_eval = ep % max(cfg.evaluate_every, 1) == 0 or last_metrics is None
-            dev_metrics = self._eval_fn(self.params, self.extras) if do_eval else None
+            dev_metrics = self._eval_dev_metrics() if do_eval else None
             # device copy: the live (params, extras) buffers are DONATED
             # to the next epoch's dispatch, so the best-model snapshot
             # needs its own
@@ -1228,13 +1284,17 @@ _FROZEN_EPOCHS = 10
 
 
 def _loss_frozen(loss_list: list[float], n: int = _FROZEN_EPOCHS) -> bool:
-    """True when the last n epoch losses are bit-identical. Each epoch
-    draws fresh random negatives, so an identical float total loss n
-    epochs running implies the parameters (and the sampler's view of
-    them) have stopped changing — the norm-collapse freeze signature."""
+    """True when the last n epoch losses are bit-identical, or all NaN.
+    Each epoch draws fresh random negatives, so an identical float total
+    loss n epochs running implies the parameters (and the sampler's view
+    of them) have stopped changing — the norm-collapse freeze signature.
+    A NaN flatline (NaN != NaN, so bit-equality alone would miss it) is
+    the other common training-dead signature and is treated as frozen."""
     if len(loss_list) < n:
         return False
     tail = loss_list[-n:]
+    if math.isnan(tail[0]):
+        return all(math.isnan(x) for x in tail)
     return all(x == tail[0] for x in tail)
 
 

@@ -60,7 +60,17 @@ COMMON = ["--dataset=lastfm", "--batch_size=2048", "--lrate=0.001"]
 # protocol (VERDICT r3 #3), the rebuild runs with its product patience
 # defaults (x2 for self-att bundles and HCCF, whose measured recall
 # troughs outlast patience-15; results/stopping_rule_ab/RESULTS.md).
+# The asymmetry this creates (rebuild at patience 30 vs reference at 15
+# for those models) is closed by the `ref_fixed_p2` control side below:
+# the reference rerun at the SAME effective patience the rebuild gets,
+# so every headline row has a same-stopping-budget comparison column
+# (round-4 advisor medium / VERDICT r4 weak #3).
 REBUILD_PINS = ["--early_stop_smooth=1"]
+# Product patience multipliers, kept in sync with the model bundles
+# (models/hccf.py:121 bundle default; models/khgrec.py:405 for the
+# use_self_att family — HGNN/HD2). Models absent here run at scale 1,
+# where the protocol is already symmetric.
+PRODUCT_PATIENCE_SCALE = {"HCCF": 2, "HGNN": 2, "HD2": 2}
 MODEL_FLAGS: dict[str, list[str]] = {
     "LightGCN": ["--reg=0.1", "--weight_decay=5e-6"],
     "HCCF": ["--reg=0.01", "--n_layers=2", "--hyper_dim=128",
@@ -170,7 +180,8 @@ TOPK_RE = re.compile(
 
 
 def run_reference(model: str, seed: int, max_epoch: int, early_stop: int,
-                  log_dir: str, fix_topk: bool = False) -> dict | None:
+                  log_dir: str, fix_topk: bool = False,
+                  log_tag: str | None = None) -> dict | None:
     argv = [sys.executable, os.path.join(ROOT, "scripts", "parity_ref_runner.py"),
             f"--model={model}", f"--seed={seed}", f"--max_epoch={max_epoch}",
             f"--early_stopping_steps={early_stop}", *COMMON, *MODEL_FLAGS.get(model, [])]
@@ -184,7 +195,7 @@ def run_reference(model: str, seed: int, max_epoch: int, early_stop: int,
         timeout=3600, check=False,
     )
     wall = time.time() - t0
-    tag = "ref_fixed" if fix_topk else "ref"
+    tag = log_tag or ("ref_fixed" if fix_topk else "ref")
     log_path = os.path.join(log_dir, f"{tag}_{model}_s{seed}.log")
     with open(log_path, "w") as f:
         f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
@@ -333,6 +344,40 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
             f"{fmt(rn)} | {fmt(fn_)} | {fmt(bn)} | {d_ndcg} |"
         )
 
+    p2_models = [m for m in models
+                 if agg(m, "ref_fixed_p2", "recall@20")[0] is not None]
+    if p2_models:
+        lines += [
+            "",
+            "## Stopping-protocol symmetry control (round-4 weak #3)",
+            "",
+            "The rebuild's product defaults give HCCF and the self-att "
+            "bundle (HGNN) patience x2 — an asymmetric epoch budget vs "
+            f"reference rows at patience {early_stop}. `ref_fixed_p2` "
+            "reruns the corrected reference with the SAME x2 patience "
+            f"(={2 * early_stop}), so this table compares both sides under "
+            "one stopping budget. Reproduce: "
+            "`python scripts/run_parity.py --side ref_fixed_p2 "
+            "--models HCCF,HGNN`.",
+            "",
+            "| Model | ref_fixed (patience "
+            f"{early_stop}) R@20 | ref_fixed_p2 (patience {2 * early_stop}) "
+            "R@20 | rebuild (product, same budget) R@20 | "
+            "Δ(rebuild−ref_fixed_p2) | ref_fixed_p2 N@20 | rebuild N@20 |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for m in p2_models:
+            fr = agg(m, "ref_fixed", "recall@20")
+            p2 = agg(m, "ref_fixed_p2", "recall@20")
+            br = agg(m, "rebuild", "recall@20")
+            p2n = agg(m, "ref_fixed_p2", "ndcg@20")
+            bn = agg(m, "rebuild", "ndcg@20")
+            d = (f"{br[0] - p2[0]:+.4f}"
+                 if br[0] is not None and p2[0] is not None else "—")
+            lines.append(
+                f"| {m} | {fmt(fr)} | {fmt(p2)} | {fmt(br)} | {d} | "
+                f"{fmt(p2n)} | {fmt(bn)} |")
+
     lines += [
         "",
         "## Exact-rejection sampler A/B (round-3 hypothesis: REFUTED)",
@@ -411,10 +456,11 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
         "stopping defaults at generation time (the raw reference stopping "
         "SIGNAL is pinned via --early_stop_smooth=1; patience SCALE "
         "follows the model bundle — x2 for self-att models per the "
-        "round-3 HGNN root cause, and x2 for HCCF as of round 4). The "
-        "committed HCCF rows predate the HCCF default and ran at raw "
-        "patience; its 1-in-9 collapsed seed (0.196) is a stopping "
-        "artifact the product default removes — full A/B and no-stop "
+        "round-3 HGNN root cause, and x2 for HCCF as of round 4; HCCF "
+        "rebuild rows were regenerated under that default in round 5). "
+        "For the x2 models the `ref_fixed_p2` section above reruns the "
+        "reference at the SAME patience, so every headline comparison "
+        "has a same-budget column; full stopping A/B and no-stop "
         "controls in results/stopping_rule_ab/RESULTS.md.",
     ]
     with open(MD_PATH, "w") as f:
@@ -426,7 +472,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--side",
                     choices=["ref", "rebuild", "both", "report", "ref_fixed",
-                             "rebuild_exact"],
+                             "rebuild_exact", "ref_fixed_p2"],
                     default="both")
     ap.add_argument("--models", type=str,
                     default=",".join(MODEL_FLAGS))
@@ -444,17 +490,25 @@ def main() -> None:
     log_dir = os.path.join(OUT_DIR, "logs")
     os.makedirs(log_dir, exist_ok=True)
 
-    if args.side in ("ref", "both", "ref_fixed"):
-        fix = args.side == "ref_fixed"
-        tag = "ref_fixed" if fix else "ref"
+    if args.side in ("ref", "both", "ref_fixed", "ref_fixed_p2"):
+        fix = args.side in ("ref_fixed", "ref_fixed_p2")
+        tag = args.side if args.side in ("ref_fixed", "ref_fixed_p2") else "ref"
         for model in models:
             if model in REF_BLOCKED:
                 print(f"REF {model}: blocked — {REF_BLOCKED[model][:80]}")
                 continue
+            patience = args.early_stopping_steps
+            if args.side == "ref_fixed_p2":
+                scale = PRODUCT_PATIENCE_SCALE.get(model, 1)
+                if scale == 1:
+                    print(f"REF_FIXED_P2 {model}: product scale is 1 — "
+                          "protocol already symmetric, skipping")
+                    continue
+                patience *= scale
             for seed in seeds:
                 res = run_reference(model, seed, args.max_epoch,
-                                    args.early_stopping_steps, log_dir,
-                                    fix_topk=fix)
+                                    patience, log_dir,
+                                    fix_topk=fix, log_tag=tag)
                 if res:
                     append_rows([flatten(model, tag, seed, args.max_epoch, res)])
                     print(f"{tag.upper()} {model} seed {seed}: recall@20="

@@ -68,7 +68,46 @@ def run_arm(model: str, seed: int, smooth: int, max_epoch: int,
     )
 
 
-def write_markdown(rows: list[dict], max_epoch: int, early_stop: int) -> None:
+CAMPAIGN_FINDINGS = [
+    "## Findings (2026-08-21 campaign: HCCF,SHT x seeds 1-9 x windows 1,5)",
+    "",
+    "These conclusions were derived from that specific campaign's rows and",
+    "its no-stop controls; they are reprinted verbatim, not recomputed from",
+    "the table below.",
+    "",
+    "1. **Smoothing is a NEGATIVE result on this protocol** (kept as "
+    "an opt-in knob): window 5 left every converged number and the "
+    "collapsed seeds unchanged. The collapsed HCCF seed is not a "
+    "spike-anchored stop — its recall genuinely dips for ~22 epochs "
+    "after an early peak (longer than patience 15), so no smoothing "
+    "window short of the trough helps.",
+    "2. **HCCF's collapse IS a stopping artifact** — with stopping "
+    "disabled, seed 8 recovers from 0.196 to 0.2948 (best epoch 73). "
+    "The product fix is patience x2 (models/hccf.py bundle default), "
+    "verified in the `pscale 0 (product)` arm below.",
+    "3. **SHT's spread is NOT a stopping artifact** — its worst seed "
+    "stays at 0.1008 even trained the full 80 epochs. Diagnosis from "
+    "the loss CSVs: under this pinned config SHT's embedding norms "
+    "decay to zero (reg_loss -> 0.0, rec_loss -> ln4, the zero-score "
+    "BPR value) and recall rides the shrinking transient, which "
+    "freezes once norms underflow; the seed decides the direction "
+    "the table freezes in. The reference shows the same +-0.021-0.026 "
+    "spread (ref_fixed, PARITY_RUNS.md) — matching dynamics, not a "
+    "rebuild defect.",
+    "",
+    "No-early-stop controls (`runs_nostop/`, patience 100): "
+    "HCCF seed 8 -> best_epoch 73, recall@20 0.2948 (recovers); "
+    "SHT seed 9 -> best_epoch 32, recall@20 0.1008 (never recovers).",
+]
+
+
+def write_markdown(rows: list[dict], max_epoch: int, early_stop: int,
+                   include_narrative: bool) -> None:
+    """Data-derived table always; the fixed campaign narrative only when
+    the aggregated rows actually contain the campaign it describes
+    (HCCF+SHT, windows 1 and 5, >=9 seeds each) — otherwise a rerun with
+    different models/seeds would present stale conclusions as if derived
+    from the new table (round-4 advisor finding)."""
     import numpy as np
 
     models = sorted({r["model"] for r in rows})
@@ -85,28 +124,10 @@ def write_markdown(rows: list[dict], max_epoch: int, early_stop: int) -> None:
         "the model bundle's product default, x2 for HCCF). Reproduce: "
         "`python scripts/stopping_rule_ab.py`.",
         "",
-        "## Findings",
-        "",
-        "1. **Smoothing is a NEGATIVE result on this protocol** (kept as "
-        "an opt-in knob): window 5 left every converged number and the "
-        "collapsed seeds unchanged. The collapsed HCCF seed is not a "
-        "spike-anchored stop — its recall genuinely dips for ~22 epochs "
-        "after an early peak (longer than patience 15), so no smoothing "
-        "window short of the trough helps.",
-        "2. **HCCF's collapse IS a stopping artifact** — with stopping "
-        "disabled, seed 8 recovers from 0.196 to 0.2948 (best epoch 73). "
-        "The product fix is patience x2 (models/hccf.py bundle default), "
-        "verified in the `pscale 0 (product)` arm below.",
-        "3. **SHT's spread is NOT a stopping artifact** — its worst seed "
-        "stays at 0.1008 even trained the full 80 epochs. Diagnosis from "
-        "the loss CSVs: under this pinned config SHT's embedding norms "
-        "decay to zero (reg_loss -> 0.0, rec_loss -> ln4, the zero-score "
-        "BPR value) and recall rides the shrinking transient, which "
-        "freezes once norms underflow; the seed decides the direction "
-        "the table freezes in. The reference shows the same +-0.021-0.026 "
-        "spread (ref_fixed, PARITY_RUNS.md) — matching dynamics, not a "
-        "rebuild defect.",
-        "",
+    ]
+    if include_narrative:
+        lines += CAMPAIGN_FINDINGS + [""]
+    lines += [
         "| Model | smooth | pscale | Recall@20 | NDCG@20 | min R@20 | "
         "stop epoch | wall s/run |",
         "|---|---|---|---|---|---|---|---|",
@@ -128,10 +149,6 @@ def write_markdown(rows: list[dict], max_epoch: int, early_stop: int) -> None:
                 f"{ep.mean():.1f} | {ws.mean():.0f} |"
             )
     lines += [
-        "",
-        "No-early-stop controls (`runs_nostop/`, patience 100): "
-        "HCCF seed 8 -> best_epoch 73, recall@20 0.2948 (recovers); "
-        "SHT seed 9 -> best_epoch 32, recall@20 0.1008 (never recovers).",
         "",
         "Raw rows: results.csv (rows predating the pscale column ran at "
         "pscale 1).",
@@ -160,6 +177,29 @@ def main() -> None:
               "best_epoch", "stop_epoch", "wall_s"]
     if not args.report_only:
         exists = os.path.exists(CSV_PATH)
+        if exists:
+            # migrate a pre-pscale CSV in place before appending — appending
+            # 9-field rows under an old 8-column header would silently shift
+            # every value one column in DictReader (round-4 advisor finding)
+            with open(CSV_PATH, newline="") as f:
+                old_rows = list(csv.DictReader(f))
+            with open(CSV_PATH) as f:
+                header = f.readline().strip().split(",")
+            if header != fields:
+                unknown = [h for h in header if h not in fields]
+                if unknown:
+                    raise SystemExit(
+                        f"refusing to append: existing {CSV_PATH} header "
+                        f"{header} has columns outside the current schema "
+                        f"{fields}; move it aside and rerun")
+                with open(CSV_PATH, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=fields)
+                    w.writeheader()
+                    for r in old_rows:
+                        # rows predating the pscale column ran at scale 1
+                        w.writerow({"pscale": 1, **r})
+                print(f"migrated {CSV_PATH} from {len(header)}-col header "
+                      f"to the current {len(fields)}-col schema")
         with open(CSV_PATH, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
             if not exists:
@@ -190,7 +230,16 @@ def main() -> None:
                 for k, v in r.items() if v is not None}}
             for r in csv.DictReader(f)
         ]
-    write_markdown(all_rows, args.max_epoch, args.early_stopping_steps)
+    campaign = (
+        {"HCCF", "SHT"} <= {r["model"] for r in all_rows}
+        and {1, 5} <= {r["smooth"] for r in all_rows}
+        and all(
+            len({r["seed"] for r in all_rows
+                 if r["model"] == m and r["smooth"] == w}) >= 9
+            for m in ("HCCF", "SHT") for w in (1, 5))
+    )
+    write_markdown(all_rows, args.max_epoch, args.early_stopping_steps,
+                   include_narrative=campaign)
 
 
 if __name__ == "__main__":
