@@ -93,8 +93,11 @@ def main() -> None:
     ap.add_argument("--no_roofline", action="store_true")
     ap.add_argument("--child", action="store_true",
                     help="run the measurement directly (no supervisor)")
-    ap.add_argument("--attempt_deadline", type=float, default=900.0,
-                    help="per-attempt wall-clock budget in supervised mode")
+    ap.add_argument("--attempt_deadline", type=float, default=1500.0,
+                    help="per-attempt wall-clock budget in supervised mode "
+                         "(the ML-1M-shape phase adds a data build, a "
+                         "compile draw from the remote-compile lottery, "
+                         "and ~3 x 45s epochs to the round-4 budget)")
     args = ap.parse_args()
 
     if not args.child:
@@ -258,9 +261,132 @@ def main() -> None:
     except Exception as exc:  # secondary metric must never kill the JSON line
         log(f"ML-1M-density phase FAILED: {type(exc).__name__}: {exc}")
 
+    # ---- ML-1M-SHAPE phase (VERDICT r4 weak #1): the FULL ~1.6M-nnz
+    # graph (6040 users x 3706 items, mean degree 147 — the
+    # scripts/scale_check.py ML-1M recipe), not the 1000-item density
+    # proxy above. This is the framework's weakest perf axis (per-example
+    # cost scales with total nnz: the joint model propagates BOTH full
+    # graphs every step), so it is now a first-class, driver-tracked
+    # number. One traced epoch also yields the MEASURED roofline
+    # (VERDICT r4 weak #2): per-op device durations + the optimized
+    # module's post-fusion bytes, replacing the analytic >100% figure.
+    ml1m_shape: dict = {}
+    measured: dict | None = None
+    try:
+        t0 = time.time()
+        s_train, s_test, s_kg_df = synthetic_dataset(
+            n_users=6040, n_items=3706, n_clusters=64, mean_degree=147.0,
+            seed=7, with_kg=True,
+        )
+        s_inter = build_interaction(s_train, s_test)
+        s_kg = build_knowledge(s_kg_df, s_inter)
+        s_cf = build_cf_device_data(
+            s_inter, eval_user_multiple=512, needs=model_data_needs("KHGRec")
+        )
+        s_kgd = build_kg_device_data(s_kg)
+        build_shape_s = time.time() - t0
+        s_cfg = make_config(
+            "KHGRec", batch_size=2048, batch_size_kg=8192, hyper_dim=128,
+            relation_dim=32, item_ranking=(10, 20), eval_user_batch=512,
+            max_epoch=4, early_stopping_steps=100, lrate=0.001, temp=1.0,
+            cl_rate=0.01, drop_rate=0.2, mode="full",
+        )
+        s_trainer = Trainer(build_model(s_cfg, s_cf, s_kgd))
+        t0 = time.time()
+        s_loss, _ = s_trainer.run_epoch(0)  # compile
+        jax.block_until_ready(jax.tree.leaves(s_trainer.params)[0])
+        shape_warm_s = time.time() - t0
+        t0 = time.time()
+        s_loss, _ = s_trainer.run_epoch(1)
+        jax.block_until_ready(jax.tree.leaves(s_trainer.params)[0])
+        shape_epoch_s = time.time() - t0
+        shape_eps = s_trainer.n_batches * s_cfg.batch_size / shape_epoch_s
+        nnz = 2 * s_inter.n_cf_train
+        ml1m_shape = {
+            "ml1m_shape_nnz": nnz,
+            "ml1m_shape_epoch_s": round(shape_epoch_s, 2),
+            "ml1m_shape_examples_per_sec": round(shape_eps, 1),
+        }
+        log(
+            f"ML-1M-SHAPE phase: {s_inter.n_cf_train} train edges "
+            f"({nnz} nnz bipartite) + {s_kg.n_kg_train} kg triples, build "
+            f"{build_shape_s:.1f}s, warmup {shape_warm_s:.1f}s, steady epoch "
+            f"{shape_epoch_s:.2f}s = {shape_eps:,.0f} examples/sec "
+            f"(loss {float(s_loss):.4f})"
+        )
+        # traced epoch -> measured roofline at real scale
+        try:
+            import tempfile
+
+            from hypergraph_diffusion_for_recommendation_tpu.utils.trace_analysis import (
+                trace_roofline,
+            )
+
+            td = tempfile.mkdtemp(prefix="bench_trace_")
+            with jax.profiler.trace(td):
+                s_trainer.run_epoch(2)
+                jax.block_until_ready(jax.tree.leaves(s_trainer.params)[0])
+            # pallas custom-calls report bytes_accessed=0 in the trace;
+            # their DMA bytes are exact from the lowered kernel — add
+            # them per execution of the dominant (full-chunk) module
+            pallas_step_bytes = s_trainer._measured_step_bytes()
+            steps_per_exec = (
+                s_trainer._chunk_steps
+                if isinstance(s_trainer._chunk_steps, int) and s_trainer._chunk_steps > 0
+                else s_trainer.n_batches
+            )
+            measured = trace_roofline(
+                td, extra_bytes_per_exec=pallas_step_bytes * steps_per_exec
+            )
+            pg = measured.get("pallas_gbps")
+            log(
+                f"MEASURED roofline (ML-1M shape, traced epoch): "
+                f"{measured['measured_gbps']:.0f} GB/s "
+                f"(HBM {measured['measured_hbm_util']*100:.1f}%), "
+                f"{measured['measured_tflops']:.2f} TFLOP/s "
+                f"(MFU {measured['measured_mfu']*100:.1f}%), device "
+                f"{measured['device_s_per_exec']:.2f}s/exec x "
+                f"{measured['n_executions']} execs, op-time coverage "
+                f"{measured['op_time_coverage']*100:.0f}%, pallas kernels "
+                f"{measured['custom_call_s_per_exec']:.2f}s/exec at "
+                f"{pg:.0f} GB/s (exact DMA bytes / measured time)"
+                if pg else
+                f"MEASURED roofline (ML-1M shape, traced epoch): "
+                f"{measured['measured_gbps']:.0f} GB/s "
+                f"(HBM {measured['measured_hbm_util']*100:.1f}%)"
+            )
+            for o in measured["top_ops"][:5]:
+                log(
+                    f"  top op: {o['name'][:46]:46s} {o['category'][:18]:18s} "
+                    f"{o['dur_ms_per_exec']:8.1f} ms/epoch "
+                    f"{o['gbps']:6.0f} GB/s  {o['share']*100:4.1f}%"
+                )
+        except Exception as exc:
+            log(f"measured roofline FAILED: {type(exc).__name__}: {exc}")
+        del s_trainer, s_cf, s_kgd  # free HBM before the eval phase
+    except Exception as exc:
+        log(f"ML-1M-shape phase FAILED: {type(exc).__name__}: {exc}")
+
     # single benchmark JSON line (driver-parsed): primary = LastFM-shape
-    # flagship; secondary ml1m_* fields track the dedup path
+    # flagship; secondary ml1m_* fields track the dedup path and the
+    # real-scale (full-graph) regime
+    # Baseline anchor: measured reference throughput on the EXACT bench
+    # dataset via the parity sandbox (scripts/measure_ref_throughput.py,
+    # CPU — hardware caveat inside the json) when available; the
+    # single-GPU ESTIMATE only as fallback.
     baseline_eps = 10_000.0  # ESTIMATE — reference publishes no throughput
+    baseline_measured = None
+    try:
+        import os
+
+        bt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "parity", "baseline_throughput.json")
+        if os.path.exists(bt_path):
+            with open(bt_path) as f:
+                bt = json.load(f)
+            baseline_measured = bt.get("khgrec_cpu", {}).get("examples_per_sec")
+    except Exception as exc:
+        log(f"baseline_throughput.json unreadable: {exc}")
     expected_warmup_s = 30.0
     # Warmup classification. Two independent noise sources: (a) service
     # -wide slowness — caught by the pinned control module; (b) PER-
@@ -279,14 +405,25 @@ def main() -> None:
     else:
         warmup_class = "module-regressed"
     compile_budget_ok = warmup_class != "module-regressed"
+    vs_baseline = (
+        round(eps / baseline_measured, 3) if baseline_measured
+        else round(eps / baseline_eps, 3)
+    )
     print(
         json.dumps(
             {
                 "metric": "khgrec_train_examples_per_sec",
                 "value": round(eps, 1),
                 "unit": "examples/sec/chip",
-                "vs_baseline": round(eps / baseline_eps, 3),
-                "baseline_estimated": True,
+                # measured anchor when available: the reference's own
+                # epoch loop on the byte-identical bench dataset (CPU via
+                # the parity sandbox — the only hardware it runs on here;
+                # the 10k ex/s single-GPU estimate is kept alongside)
+                "vs_baseline": vs_baseline,
+                "baseline_estimated": baseline_measured is None,
+                "baseline_measured_cpu_eps": baseline_measured,
+                "baseline_hardware": "cpu" if baseline_measured else None,
+                "vs_gpu_estimate": round(eps / baseline_eps, 3),
                 # Compile-time telemetry (VERDICT r2 #7 + r3 #6): the
                 # axon remote-compile service is a latency lottery
                 # (24-634 s observed for byte-identical modules); the
@@ -308,6 +445,43 @@ def main() -> None:
                     round(ml1m_eps, 1) if ml1m_eps else None
                 ),
                 "ml1m_dedup_auto": dedup_auto,
+                # real-scale (full ~1.6M-nnz ML-1M-shape graph) phase —
+                # nulls mean the phase failed (see stderr log)
+                **(ml1m_shape or {
+                    "ml1m_shape_nnz": None,
+                    "ml1m_shape_epoch_s": None,
+                    "ml1m_shape_examples_per_sec": None,
+                }),
+                # MEASURED roofline at ML-1M shape: per-op device times
+                # from the profiler TPU plane x the optimized module's
+                # post-fusion bytes (utils/trace_analysis.py) — replaces
+                # the analytic HBM figure that over-counted fused operand
+                # reuse (>100% in BENCH_r04)
+                "measured_roofline": (
+                    {
+                        "gbps": round(measured["measured_gbps"], 1),
+                        "hbm_util": round(measured["measured_hbm_util"], 3),
+                        "tflops": round(measured["measured_tflops"], 2),
+                        "mfu": round(measured["measured_mfu"], 4),
+                        "device_s_per_exec": round(
+                            measured["device_s_per_exec"], 3
+                        ),
+                        "n_executions": measured["n_executions"],
+                        "op_time_coverage": round(
+                            measured["op_time_coverage"], 3
+                        ),
+                        "pallas_gbps": (
+                            round(measured["pallas_gbps"], 1)
+                            if measured.get("pallas_gbps") else None
+                        ),
+                        "scale": "ml1m_shape",
+                        "source": "jax.profiler xplane (measured device "
+                                  "times; leaf-op bytes + exact pallas "
+                                  "DMA bytes)",
+                    }
+                    if measured
+                    else None
+                ),
             }
         ),
         flush=True,
@@ -320,28 +494,43 @@ def main() -> None:
     # made TWELVE per-scalar device->host roundtrips through the remote
     # tunnel. Now a single device_get (eval/metrics.py); the split below
     # keeps the decomposition driver-visible (VERDICT r3 #4).
-    t0 = time.time()
-    m = trainer.evaluate()
-    t_eval_cold = time.time() - t0
-    t0 = time.time()
-    m = trainer.evaluate()
-    t_eval = time.time() - t0
-    # decomposition: device-only eval fn vs host conversion
-    t0 = time.time()
-    dev_m = trainer._eval_fn(trainer.params, trainer.extras)
-    jax.block_until_ready(jax.tree.leaves(dev_m))
-    t_eval_device = time.time() - t0
+    # (post-JSON phases are NON-FATAL: the driver metric is already out)
+    t_score = 0.1
     n_eval_users = cf_dev.eval_data.n_test_users
-    log(
-        f"full-catalog eval: cold {t_eval_cold:.2f}s (incl. compile), "
-        f"steady-state {t_eval:.3f}s = {n_eval_users / t_eval:,.0f} users/sec "
-        f"(device {t_eval_device * 1000:.0f}ms + host sync "
-        f"{(t_eval - t_eval_device) * 1000:.0f}ms)  metrics@20: {m[20]}"
-    )
-    log(
-        f"epochs/hour: train-only {3600.0 / epoch_s:,.0f}, "
-        f"train+eval-every-epoch {3600.0 / (epoch_s + t_eval):,.0f}"
-    )
+    try:
+        t0 = time.time()
+        m = trainer.evaluate()
+        t_eval_cold = time.time() - t0
+        # second call: params unchanged -> the encode cache serves the
+        # propagated tables and only the score/metric half runs (VERDICT
+        # r4 weak #6; equivalence-tested in tests/test_eval_cache.py)
+        t0 = time.time()
+        m = trainer.evaluate()
+        t_eval = time.time() - t0
+        # decomposition on the already-compiled split fns: encode (skipped
+        # on cache hits) vs score+metrics (always runs)
+        t0 = time.time()
+        enc = trainer._encode_fn(trainer.params, trainer.extras)
+        jax.block_until_ready(jax.tree.leaves(enc))
+        t_encode = time.time() - t0
+        t0 = time.time()
+        dev_m = trainer._score_fn(*enc)
+        jax.block_until_ready(jax.tree.leaves(dev_m))
+        t_score = time.time() - t0
+        log(
+            f"full-catalog eval: cold {t_eval_cold:.2f}s (incl. compile), "
+            f"steady CACHED {t_eval:.3f}s = {n_eval_users / t_eval:,.0f} users/sec "
+            f"(encode {t_encode * 1000:.0f}ms — skipped on cache hit — + "
+            f"score {t_score * 1000:.0f}ms)  metrics@20: {m[20]}"
+        )
+        t_eval_fresh = t_encode + t_score
+        log(
+            f"epochs/hour: train-only {3600.0 / epoch_s:,.0f}, "
+            f"train+eval-every-epoch {3600.0 / (epoch_s + t_eval_fresh):,.0f} "
+            f"(eval-after-train re-encodes: params changed)"
+        )
+    except Exception as exc:
+        log(f"eval phase FAILED (diagnostics only): {type(exc).__name__}: {exc}")
 
     # (the sync-vs-async eval overlap demo was removed with the async_eval
     # machinery: one device queue serialises train+eval — measured 0%
@@ -374,7 +563,9 @@ def main() -> None:
             # possible and simply reads "at the HBM roof".
             hbm_note = " (analytic bytes; >=100% = at the roof)" if r["hbm_util"] >= 1.0 else ""
             log(
-                f"train-step roofline: {r['achieved_tflops']:.2f} TFLOP/s "
+                f"train-step roofline (ANALYTIC cost model, bench scale — "
+                f"see measured_roofline in the JSON for the trace-derived "
+                f"number): {r['achieved_tflops']:.2f} TFLOP/s "
                 f"(MFU {r['mfu']*100:.1f}%), {r['achieved_gbps']:.0f} GB/s "
                 f"(HBM {r['hbm_util']*100:.1f}%{hbm_note}), intensity "
                 f"{r['arithmetic_intensity']:.1f} flop/B "
@@ -391,23 +582,36 @@ def main() -> None:
 
             s_stats = cost_analysis(scorer, u_sds, i_sds)
             blocks = -(-n_eval_users // cfg.eval_user_batch)
-            # over the DEVICE-only eval time: the host-sync tail is a
-            # tunnel artifact, not kernel time (round-4 profile)
+            # over the measured score-half device time (encode excluded
+            # by construction: the split fns time it separately)
             r2 = roofline(
                 s_stats.get("flops", 0.0) * blocks,
                 s_stats.get("bytes accessed", 0.0) * blocks,
-                t_eval_device,
+                t_score,
             )
             log(
-                f"eval-scorer roofline (score+topk only, over device eval "
-                f"{t_eval_device * 1000:.0f}ms; encode excluded): "
+                f"eval-scorer roofline (score+topk only, over device score "
+                f"{t_score * 1000:.0f}ms; encode excluded): "
                 f"{r2['achieved_tflops']:.2f} TFLOP/s (MFU {r2['mfu']*100:.1f}%), "
                 f"{r2['achieved_gbps']:.0f} GB/s (HBM {r2['hbm_util']*100:.1f}%)"
             )
         except Exception as exc:  # diagnostics only — never fail the bench
             log(f"roofline skipped: {type(exc).__name__}: {exc}")
 
-    # ---- optional convergence check: healthy-model evidence
+    # ---- optional convergence check: healthy-model evidence.
+    # NON-FATAL: the primary JSON line is already out; a TPU-worker
+    # crash here (observed once after a profiler-trace epoch) must not
+    # turn a complete measurement into a supervisor retry.
+    try:
+        _convergence_check(args, trainer, train, test, cf_dev, n_timed)
+    except Exception as exc:
+        log(f"convergence check FAILED (diagnostics only): "
+            f"{type(exc).__name__}: {exc}")
+
+
+def _convergence_check(args, trainer, train, test, cf_dev, n_timed) -> None:
+    import jax
+
     if args.epochs > 0:
         t0 = time.time()
         for ep in range(args.epochs):

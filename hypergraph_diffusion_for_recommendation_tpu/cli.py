@@ -74,6 +74,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "troughs outlast the standard patience); explicit "
                         "value pins it (1 = reference protocol)")
     p.add_argument("--evaluate_every", type=int, default=None)
+    p.add_argument("--prop_cache_steps", type=int, default=None,
+                   help="K>1 trains KHGRec-family models on cached "
+                        "propagated tables refreshed by a true full-graph "
+                        "step every K steps (straight-through gradients "
+                        "between refreshes) — skips the full-graph spmm "
+                        "chains on K-1 of K steps; 0/1 = off "
+                        "(reference-parity semantics). Quality A/B: "
+                        "results/prop_cache_ab/")
     # accepted for reference run-script compatibility (main.py:16,87-89):
     # gpu_id is meaningless on TPU; print cadences map to log verbosity
     p.add_argument("--gpu_id", type=int, default=0,
@@ -125,7 +133,7 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         "hyper_dim", "lr_decay", "weight_decay", "reg", "reg_kg", "p", "drop_rate",
         "nheads", "temp", "cl_rate", "mode", "aug_type", "laplacian_type",
         "aggregation_type", "early_stopping_steps", "early_stop_smooth",
-        "early_stop_patience_scale", "evaluate_every",
+        "early_stop_patience_scale", "evaluate_every", "prop_cache_steps",
         "mesh_data", "mesh_model", "shard_graph", "gather_layout", "sampler",
         "output_dir", "save_checkpoints", "resume",
     ):

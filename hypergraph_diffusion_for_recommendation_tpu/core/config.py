@@ -98,6 +98,18 @@ class Config:
     # semantics (util/sampler.py:252-257) — the parity-A/B control for
     # the sampling-distribution hypothesis (VERDICT r3 #1)
     sampler: str = "redraw"
+    # Cached-propagation training (opt-in TPU-first speed knob the
+    # reference cannot offer; VERDICT r4 next #1). K>1: every K-th step
+    # runs the true full-graph loss (training every parameter and
+    # refreshing cached propagated tables from that same forward); the
+    # K-1 steps between train on the cached tables with a
+    # straight-through identity path into the embedding table — forward
+    # values are exactly the cached propagation, gradients flow through
+    # each row's own-embedding (residual/self) component, and the
+    # full-graph spmm chains are skipped. Converged-quality A/B:
+    # results/prop_cache_ab/ (scripts/prop_cache_ab.py). KHGRec-family
+    # models only; 0/1 = off (reference-parity semantics).
+    prop_cache_steps: int = 0
     shard_min_rows: int = 1024  # min table rows before row-sharding kicks in
     # row-window-shard the graph adjacencies over the mesh's model axis
     # (parallel/sharded_adj.py; per-device adjacency memory ~nnz/S):

@@ -309,6 +309,14 @@ def _build_khgrec_like(
 def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None,
                    use_self_att=False) -> ModelBundle:
     keep = 1.0 - cfg.drop_rate
+    # cached-propagation training (core/config.py prop_cache_steps): K>1
+    # runs the true full-graph loss every K-th step (refreshing cached
+    # propagated tables from that same forward) and trains the K-1 steps
+    # between on the cached tables with straight-through gradients — the
+    # full-graph spmm chains (the ~85% of step time that scales with
+    # nnz) are skipped on those steps. Quality A/B: results/prop_cache_ab/.
+    K_cache = max(int(getattr(cfg, "prop_cache_steps", 0) or 0), 0)
+    use_prop_cache = K_cache > 1
 
     def init(rng):
         b = cfg.batch_size_kg
@@ -321,12 +329,24 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None,
             {"params": rng, "edges": rng}, cf, kg, att0, 1.0, False, use_att,
             joint_adj=joint_adj,
         )
-        return params, {"att_h": att0[0], "att_t": att0[1], "att_v": att0[2]}
+        extras = {"att_h": att0[0], "att_t": att0[1], "att_v": att0[2]}
+        if use_prop_cache:
+            d = cfg.hyper_dim
+            extras.update(
+                # age 0 -> the first step takes the full branch and
+                # populates the tables before any cached step runs
+                prop_age=jnp.zeros((), jnp.int32),
+                prop_u=jnp.zeros((cf.n_users, d), jnp.float32),
+                prop_icf=jnp.zeros((cf.n_items, d), jnp.float32),
+                prop_fused=jnp.zeros((cf.n_items, d), jnp.float32),
+                prop_ent=jnp.zeros((kg.n_entities, d), jnp.float32),
+            )
+        return params, extras
 
     def _att(extras):
         return (extras["att_h"], extras["att_t"], extras["att_v"])
 
-    def batch_loss(params, extras, batch, rng):
+    def full_loss(params, extras, batch, rng):
         users, pos, neg, h, r, pt, nt = batch
         k1, k2 = jax.random.split(rng)
         u_cf, i_cf, ent_kg, u_kg, i_kg, fused = module.apply(
@@ -367,11 +387,24 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None,
         p_sg = jax.lax.stop_gradient(p)
         vals = attention_values(ent_sg, p_sg["relation_emb"], p_sg["trans_M"], h, pt, r)
         att_v = attention_softmax(vals, h, kg.n_entities)
+        new_extras = {"att_h": h, "att_t": pt, "att_v": att_v}
+        if use_prop_cache:
+            # refresh the cached propagated tables from THIS forward (the
+            # same one the losses used — no extra propagation); values
+            # carry the step's edge-dropout draw, like every reference
+            # step's forward does
+            new_extras.update(
+                prop_age=extras["prop_age"] + 1,
+                prop_u=jax.lax.stop_gradient(u_cf),
+                prop_icf=jax.lax.stop_gradient(i_cf),
+                prop_fused=jax.lax.stop_gradient(fused),
+                prop_ent=ent_sg,
+            )
         aux = {
             "rec_loss": rec,
             "cf_loss": cf_loss,
             "kg_loss": kg_loss,
-            "_new_extras": {"att_h": h, "att_t": pt, "att_v": att_v},
+            "_new_extras": new_extras,
         }
         if use_ssl:
             # one gather per VIEW (users and items stacked) instead of
@@ -389,6 +422,94 @@ def _finish_bundle(name, cfg, cf, kg, module, use_ssl, use_att, joint_adj=None,
             aux["cl_loss"] = ssl
             loss = loss + ssl
         return loss, aux
+
+    def cached_loss(params, extras, batch, rng):
+        """The between-refresh step of cached-propagation training: the
+        same loss formulas as full_loss, but every propagated row comes
+        from the cached tables with a straight-through identity path
+        into the embedding table — `st(prop, ego) = prop + ego - sg(ego)`
+        has the cached propagation's VALUE and the own-row (residual /
+        self) component of its gradient, which the encoders' per-layer
+        `LN(conv) + res` residual makes a true Jacobian term. Parameters
+        inside the propagation (LayerNorms, attention fusion) receive
+        gradients only on the full steps."""
+        users, pos, neg, h, r, pt, nt = batch
+        p = params["params"]
+        table = p["user_entity_emb"]
+
+        def st(prop_rows, ego_rows):
+            return prop_rows + ego_rows - jax.lax.stop_gradient(ego_rows)
+
+        from .kg_common import project_by_relation, relation_lookup
+
+        # CF loss on cached user/fused-item rows (identity path = the
+        # row's own entry in the shared entity table)
+        upn_ids = jnp.concatenate(
+            [kg.user_idx[users], kg.item_idx[pos], kg.item_idx[neg]]
+        )
+        ego3 = table[upn_ids]
+        ego_u, ego_p, ego_n = jnp.split(ego3, 3, axis=0)
+        ue = st(extras["prop_u"][users], ego_u)
+        pe = st(extras["prop_fused"][pos], ego_p)
+        ne = st(extras["prop_fused"][neg], ego_n)
+        rec = bpr_loss(ue, pe, ne)
+        cf_loss = rec + l2_reg_loss(cfg.reg, ue, pe, ne) / cfg.batch_size
+        # KG TransR loss on cached entity rows; relation_emb/trans_M are
+        # outside the propagation and train exactly as in full_loss
+        r_emb = relation_lookup(p["relation_emb"], r)
+        hpn = jnp.concatenate([h, pt, nt])
+        ent_rows = st(extras["prop_ent"][hpn], table[hpn])
+        proj3 = project_by_relation(ent_rows, p["trans_M"], jnp.concatenate([r, r, r]))
+        r_mul_h, r_mul_pos, r_mul_neg = jnp.split(proj3, 3, axis=0)
+        pos_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_pos), axis=1)
+        neg_score = jnp.sum(jnp.square(r_mul_h + r_emb - r_mul_neg), axis=1)
+        kg_loss = jnp.mean(-jax.nn.log_sigmoid(neg_score - pos_score))
+        kg_loss = kg_loss + l2_reg_loss(cfg.reg_kg, r_mul_h, r_emb, r_mul_pos, r_mul_neg) / cfg.batch_size_kg
+        loss = cf_loss + kg_loss
+        # next-batch attention scored from the cached (clean of grad)
+        # entity table — same stop-gradient semantics as full_loss
+        p_sg = jax.lax.stop_gradient(p)
+        vals = attention_values(
+            extras["prop_ent"], p_sg["relation_emb"], p_sg["trans_M"], h, pt, r
+        )
+        att_v = attention_softmax(vals, h, kg.n_entities)
+        aux = {
+            "rec_loss": rec,
+            "cf_loss": cf_loss,
+            "kg_loss": kg_loss,
+            "_new_extras": {
+                "att_h": h, "att_t": pt, "att_v": att_v,
+                "prop_age": extras["prop_age"] + 1,
+                "prop_u": extras["prop_u"],
+                "prop_icf": extras["prop_icf"],
+                "prop_fused": extras["prop_fused"],
+                "prop_ent": extras["prop_ent"],
+            },
+        }
+        if use_ssl:
+            uu, um = unique_mask(users)
+            iu, im = unique_mask(pos)
+            u_cf_v = st(extras["prop_u"][uu], table[kg.user_idx[uu]])
+            i_cf_v = st(extras["prop_icf"][iu], table[kg.item_idx[iu]])
+            u_kg_v = st(extras["prop_ent"][kg.user_idx[uu]], table[kg.user_idx[uu]])
+            i_kg_v = st(extras["prop_ent"][kg.item_idx[iu]], table[kg.item_idx[iu]])
+            ssl = contrast_loss_pregathered(u_cf_v, u_kg_v, um, cfg.temp)
+            ssl = ssl + contrast_loss_pregathered(i_cf_v, i_kg_v, im, cfg.temp)
+            ssl = cfg.cl_rate * ssl
+            aux["cl_loss"] = ssl
+            loss = loss + ssl
+        return loss, aux
+
+    if use_prop_cache:
+
+        def batch_loss(params, extras, batch, rng):
+            is_full = (extras["prop_age"] % K_cache) == 0
+            return jax.lax.cond(
+                is_full, full_loss, cached_loss, params, extras, batch, rng
+            )
+
+    else:
+        batch_loss = full_loss
 
     def encode_eval(params, extras):
         u_cf, i_cf, ent_kg, u_kg, i_kg, fused = module.apply(

@@ -151,9 +151,48 @@ def install_fixed_topk() -> None:
     alg.find_k_largest = find_k_largest_fixed
 
 
+def install_epoch_timer() -> None:
+    """Print one parseable line per trained epoch with the reference's
+    OWN measured train time (the value it feeds save_performance_row,
+    base/main_recommender.py:191-213) — the throughput-measurement hook
+    for scripts/measure_ref_throughput.py. The end-of-run
+    save_perfomance_training overwrites the per-epoch CSV rows, so
+    stdout is the only reliable carrier."""
+    sys.path.insert(0, os.getcwd())
+    # TWO GraphRecommender base classes exist (SURVEY 1.3): KHGRec-family
+    # models subclass base.main_recommender.GraphRecommender
+    # (save_performance_row(ep, time_train, time_test, data_ep)) while
+    # LightGCN-family subclass base.graph_recommender.GraphRecommender
+    # (save_performance_row(ep, data_ep) with data_ep['train_time']).
+    from base import graph_recommender as gr
+    from base import main_recommender as mr
+
+    orig_main = mr.GraphRecommender.save_performance_row
+
+    def timed_main(self, ep, time_train, time_test, data_ep):
+        print(f"EPOCH_TRAIN_TIME {ep} {time_train:.4f} {time_test:.4f}",
+              flush=True)
+        return orig_main(self, ep, time_train, time_test, data_ep)
+
+    mr.GraphRecommender.save_performance_row = timed_main
+
+    # LightGCN-family never calls save_performance_row; its train_time
+    # flows through fast_evaluation(epoch, train_time=...) only
+    orig_gr = gr.GraphRecommender.fast_evaluation
+
+    def timed_gr(self, epoch, kwargs=None, train_time=None):
+        if train_time is not None:
+            print(f"EPOCH_TRAIN_TIME {epoch} {train_time:.4f} 0.0",
+                  flush=True)
+        return orig_gr(self, epoch, kwargs=kwargs, train_time=train_time)
+
+    gr.GraphRecommender.fast_evaluation = timed_gr
+
+
 def main() -> None:
     seed = 60
     fix_topk = False
+    emit_times = False
     argv = []
     it = iter(enumerate(sys.argv[1:]))
     for i, a in it:
@@ -164,6 +203,9 @@ def main() -> None:
         if a == "--fix_topk":  # runner-only flag, not passed to main.py
             fix_topk = True
             continue
+        if a == "--emit_epoch_times":  # runner-only flag
+            emit_times = True
+            continue
         argv.append(a)
 
     sys.path.insert(0, os.getcwd())
@@ -172,6 +214,8 @@ def main() -> None:
     install_cuda_shim()
     if fix_topk:
         install_fixed_topk()
+    if emit_times:
+        install_epoch_timer()
     seed_everything(seed)
     sys.argv = ["main.py"] + argv
     runpy.run_path("main.py", run_name="__main__")
