@@ -74,6 +74,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "troughs outlast the standard patience); explicit "
                         "value pins it (1 = reference protocol)")
     p.add_argument("--evaluate_every", type=int, default=None)
+    p.add_argument("--sht_reg", type=str, default=None,
+                   choices=["batch", "full"],
+                   help="SHT regularisation: 'batch' (product default, "
+                        "batch-row L2) or 'full' (the reference's exact "
+                        "full-parameter calcRegLoss — norm-collapse seed "
+                        "lottery at the pinned parity config)")
     p.add_argument("--prop_cache_steps", type=int, default=None,
                    help="K>1 trains KHGRec-family models on cached "
                         "propagated tables refreshed by a true full-graph "
@@ -134,6 +140,7 @@ def extract_overrides(args: argparse.Namespace) -> dict:
         "nheads", "temp", "cl_rate", "mode", "aug_type", "laplacian_type",
         "aggregation_type", "early_stopping_steps", "early_stop_smooth",
         "early_stop_patience_scale", "evaluate_every", "prop_cache_steps",
+        "sht_reg",
         "mesh_data", "mesh_model", "shard_graph", "gather_layout", "sampler",
         "output_dir", "save_checkpoints", "resume",
     ):

@@ -110,6 +110,12 @@ class Config:
     # results/prop_cache_ab/ (scripts/prop_cache_ab.py). KHGRec-family
     # models only; 0/1 = off (reference-parity semantics).
     prop_cache_steps: int = 0
+    # SHT regularisation semantics: "batch" (product default — batch-row
+    # squared L2 + hyperedge-table weight decay, the convention every
+    # other model uses) or "full" (the reference's exact full-parameter
+    # calcRegLoss, SHT.py:234-239 — norm-collapse seed lottery at the
+    # pinned parity config; A/B in results/sht_reg_ab/)
+    sht_reg: str = "batch"
     shard_min_rows: int = 1024  # min table rows before row-sharding kicks in
     # row-window-shard the graph adjacencies over the mesh's model axis
     # (parallel/sharded_adj.py; per-device adjacency memory ~nnz/S):
