@@ -434,6 +434,17 @@ def write_markdown(max_epoch: int, early_stop: int) -> None:
         "before a late climb, so patience-15 stopping is seed-lottery; "
         "the rebuild's on-device epoch is deterministic enough to sit "
         "consistently at the top of the reference's seed range.",
+        "- **SHT reg semantics (round-5 product fix)**: the reference's "
+        "SHT is the only model in its codebase regularising the FULL "
+        "parameter tables every step (calcRegLoss, SHT.py:234-239) "
+        "instead of batch rows (its own util/loss_torch.py convention); "
+        "under the pinned reg=0.01 this collapses embedding norms on "
+        "some seeds in BOTH implementations (the ±0.014-0.021 lottery). "
+        "Rebuild rows run the product default --sht_reg=batch "
+        "(0.2027±0.0018 over 9 seeds vs ref_fixed full-reg 0.133±0.021 "
+        "— above the reference's best seed); --sht_reg=full reproduces "
+        "the reference semantics exactly (0.1345±0.0142). Full A/B: "
+        "results/sht_reg_ab/RESULTS.md.",
         "",
         "## Reference-side blocked models (exact errors, verified by invocation)",
         "",
