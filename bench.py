@@ -363,7 +363,37 @@ def main() -> None:
                 )
         except Exception as exc:
             log(f"measured roofline FAILED: {type(exc).__name__}: {exc}")
-        del s_trainer, s_cf, s_kgd  # free HBM before the eval phase
+        del s_trainer
+        # cached-propagation lever (--prop_cache_steps 8, opt-in knob;
+        # quality A/B in results/prop_cache_ab/): same data, K=8
+        try:
+            c_cfg = make_config(
+                "KHGRec", batch_size=2048, batch_size_kg=8192, hyper_dim=128,
+                relation_dim=32, item_ranking=(10, 20), eval_user_batch=512,
+                max_epoch=3, early_stopping_steps=100, lrate=0.001, temp=1.0,
+                cl_rate=0.01, drop_rate=0.2, mode="full", prop_cache_steps=8,
+            )
+            c_trainer = Trainer(build_model(c_cfg, s_cf, s_kgd))
+            t0 = time.time()
+            c_loss, _ = c_trainer.run_epoch(0)  # compile
+            jax.block_until_ready(jax.tree.leaves(c_trainer.params)[0])
+            c_warm = time.time() - t0
+            t0 = time.time()
+            c_loss, _ = c_trainer.run_epoch(1)
+            jax.block_until_ready(jax.tree.leaves(c_trainer.params)[0])
+            c_epoch_s = time.time() - t0
+            c_eps = c_trainer.n_batches * c_cfg.batch_size / c_epoch_s
+            ml1m_shape["ml1m_shape_cached8_epoch_s"] = round(c_epoch_s, 2)
+            ml1m_shape["ml1m_shape_cached8_examples_per_sec"] = round(c_eps, 1)
+            log(
+                f"ML-1M-SHAPE cached-propagation (K=8): warmup {c_warm:.1f}s, "
+                f"steady epoch {c_epoch_s:.2f}s = {c_eps:,.0f} examples/sec "
+                f"(loss {float(c_loss):.4f})"
+            )
+            del c_trainer
+        except Exception as exc:
+            log(f"cached-propagation phase FAILED: {type(exc).__name__}: {exc}")
+        del s_cf, s_kgd  # free HBM before the eval phase
     except Exception as exc:
         log(f"ML-1M-shape phase FAILED: {type(exc).__name__}: {exc}")
 
