@@ -118,3 +118,25 @@ def test_age_threads_through_epochs(kg_setup):
     assert int(t.extras["prop_age"]) == n
     t.run_epoch(1)
     assert int(t.extras["prop_age"]) == 2 * n
+
+
+def test_prop_cache_on_mesh_matches_single(kg_setup):
+    """Cached-propagation training must compose with the mesh path: same
+    seeds -> same batches; DP+row-sharded tables change only reduction
+    order, so per-epoch losses and eval agree with the single-device
+    cached run."""
+    from hypergraph_diffusion_for_recommendation_tpu.parallel import make_mesh
+
+    _, cf_dev, kg_dev = kg_setup
+    cfg = _cfg(prop_cache_steps=4, max_epoch=2, shard_min_rows=64)
+    t_single = Trainer(build_model(cfg, cf_dev, kg_dev), seed=5)
+    t_mesh = Trainer(build_model(cfg, cf_dev, kg_dev), seed=5,
+                     mesh=make_mesh(4, 2))
+    for ep in range(2):
+        l1, _ = t_single.run_epoch(ep)
+        l2, _ = t_mesh.run_epoch(ep)
+        assert abs(l1 - l2) < 2e-3, (ep, l1, l2)
+    assert int(t_mesh.extras["prop_age"]) == 2 * t_mesh.n_batches
+    m1 = t_single.evaluate()
+    m2 = t_mesh.evaluate()
+    assert abs(m1[20]["recall"] - m2[20]["recall"]) < 5e-3, (m1, m2)
