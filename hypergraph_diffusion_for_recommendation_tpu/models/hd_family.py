@@ -194,13 +194,38 @@ def _build_hd_variant(
             i = jnp.mean(jnp.stack([v[1] for v in views], axis=1), axis=1)
             return (u, i), views
 
+        # cached-propagation training (core/config.py prop_cache_steps):
+        # same design as the KHGRec flagship (models/khgrec.py) — the
+        # full dual-view diffusion (the nnz-scaling ~95% of step cost at
+        # multi-M scale, BENCH_NOTES) runs every K-th step and refreshes
+        # cached view tables; steps between train on them with
+        # straight-through gradients into the embedding tables.
+        K_cache = max(int(getattr(cfg, "prop_cache_steps", 0) or 0), 0)
+        use_prop_cache = K_cache > 1
+        ssl_two_views = use_ssl and use_local and use_group
+
         def init(rng):
             params = module.init(
                 {"params": rng, "edges": rng, "dropout": rng}, cf, method=HDModule.init_all
             )
-            return params, ()
+            if not use_prop_cache:
+                return params, ()
+            d = cfg.hyper_dim
+            extras = {
+                "prop_age": jnp.zeros((), jnp.int32),
+                "prop_u": jnp.zeros((cf.n_users, d), jnp.float32),
+                "prop_i": jnp.zeros((cf.n_items, d), jnp.float32),
+            }
+            if ssl_two_views:
+                extras.update(
+                    prop_lu=jnp.zeros((cf.n_users, d), jnp.float32),
+                    prop_li=jnp.zeros((cf.n_items, d), jnp.float32),
+                    prop_gu=jnp.zeros((cf.n_users, d), jnp.float32),
+                    prop_gi=jnp.zeros((cf.n_items, d), jnp.float32),
+                )
+            return params, extras
 
-        def batch_loss(params, extras, batch, rng):
+        def full_loss(params, extras, batch, rng):
             users, pos, neg = batch
             (u_emb, i_emb), views = _encode(params, rng, train=True)
             ue, pe, ne = u_emb[users], i_emb[pos], i_emb[neg]
@@ -223,7 +248,66 @@ def _build_hd_variant(
                 ssl = cfg.cl_rate * ssl
                 aux["cl_loss"] = ssl
                 loss = loss + ssl
+            if use_prop_cache:
+                sg = jax.lax.stop_gradient
+                new_extras = {
+                    "prop_age": extras["prop_age"] + 1,
+                    "prop_u": sg(u_emb), "prop_i": sg(i_emb),
+                }
+                if ssl_two_views:
+                    (lu, li), (gu, gi) = views
+                    new_extras.update(prop_lu=sg(lu), prop_li=sg(li),
+                                      prop_gu=sg(gu), prop_gi=sg(gi))
+                aux["_new_extras"] = new_extras
             return loss, aux
+
+        def cached_loss(params, extras, batch, rng):
+            """Between-refresh step: the same losses on cached view rows
+            with a straight-through identity path into the embedding
+            tables (each view carries the ego residual, so the own-row
+            component is a true Jacobian term — see models/khgrec.py)."""
+            users, pos, neg = batch
+            p = params["params"]
+            u_tab, i_tab = p["user_emb"], p["item_emb"]
+
+            def st(prop_rows, ego_rows):
+                return prop_rows + ego_rows - jax.lax.stop_gradient(ego_rows)
+
+            ue = st(extras["prop_u"][users], u_tab[users])
+            pe = st(extras["prop_i"][pos], i_tab[pos])
+            ne = st(extras["prop_i"][neg], i_tab[neg])
+            rec = bpr_loss(ue, pe, ne)
+            reg = l2_reg_loss(cfg.reg, ue, pe, ne) / cfg.batch_size
+            aux = {"rec_loss": rec, "reg_loss": reg}
+            loss = rec + reg
+            if ssl_two_views:
+                uu, um = unique_mask(users)
+                iu, im = unique_mask(pos)
+                lu_v = st(extras["prop_lu"][uu], u_tab[uu])
+                gu_v = st(extras["prop_gu"][uu], u_tab[uu])
+                li_v = st(extras["prop_li"][iu], i_tab[iu])
+                gi_v = st(extras["prop_gi"][iu], i_tab[iu])
+                ssl = contrast_loss_pregathered(lu_v, gu_v, um, cfg.temp)
+                ssl = ssl + contrast_loss_pregathered(li_v, gi_v, im, cfg.temp)
+                ssl = cfg.cl_rate * ssl
+                aux["cl_loss"] = ssl
+                loss = loss + ssl
+            aux["_new_extras"] = {
+                **{k: extras[k] for k in extras if k != "prop_age"},
+                "prop_age": extras["prop_age"] + 1,
+            }
+            return loss, aux
+
+        if use_prop_cache:
+
+            def batch_loss(params, extras, batch, rng):
+                is_full = (extras["prop_age"] % K_cache) == 0
+                return jax.lax.cond(
+                    is_full, full_loss, cached_loss, params, extras, batch, rng
+                )
+
+        else:
+            batch_loss = full_loss
 
         def encode_eval(params, extras):
             (u_emb, i_emb), _ = _encode(params, jax.random.PRNGKey(0), train=False)

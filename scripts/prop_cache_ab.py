@@ -32,11 +32,9 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 OUT_DIR = os.path.join(ROOT, "results", "prop_cache_ab")
-CSV_PATH = os.path.join(OUT_DIR, "results.csv")
-MD_PATH = os.path.join(OUT_DIR, "RESULTS.md")
 
 
-def child(k: int, seed: int, epochs: int) -> None:
+def child(k: int, seed: int, epochs: int, model: str = "KHGRec") -> None:
     from hypergraph_diffusion_for_recommendation_tpu.data import device as _dev
 
     _dev.PALLAS_BF16 = True  # production compute mode (bench.py parity)
@@ -55,17 +53,24 @@ def child(k: int, seed: int, epochs: int) -> None:
         n_users=1500, n_items=1000, mean_degree=120.0, seed=9, with_kg=True
     )
     inter = build_interaction(train, test)
-    kg = build_knowledge(kg_df, inter)
     cf = build_cf_device_data(
-        inter, eval_user_multiple=512, needs=model_data_needs("KHGRec")
+        inter, eval_user_multiple=512, needs=model_data_needs(model)
     )
-    kgd = build_kg_device_data(kg)
+    kgd = None
+    if model == "KHGRec":
+        kg = build_knowledge(kg_df, inter)
+        kgd = build_kg_device_data(kg)
+    model_kw = (
+        dict(batch_size_kg=8192, relation_dim=32, temp=1.0, cl_rate=0.01,
+             mode="full") if model == "KHGRec"
+        else dict(cl_rate=1e-5, temp=0.2, reg=0.1)  # HGNN_HD3 parity flags
+    )
     cfg = make_config(
-        "KHGRec", seed=seed, batch_size=2048, batch_size_kg=8192,
-        hyper_dim=128, relation_dim=32, item_ranking=(10, 20),
+        model, seed=seed, batch_size=2048,
+        hyper_dim=128, item_ranking=(10, 20),
         eval_user_batch=512, max_epoch=epochs, early_stopping_steps=15,
-        lrate=0.001, temp=1.0, cl_rate=0.01, drop_rate=0.2, mode="full",
-        prop_cache_steps=k,
+        lrate=0.001, drop_rate=0.2,
+        prop_cache_steps=k, **model_kw,
     )
     trainer = Trainer(build_model(cfg, cf, kgd))
     t0 = time.time()
@@ -84,21 +89,27 @@ def main() -> None:
     ap.add_argument("--ks", type=str, default="0,4,8")
     ap.add_argument("--seeds", type=str, default="1,2,3")
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--model", type=str, default="KHGRec",
+                    choices=["KHGRec", "HGNN_HD3"])
     ap.add_argument("--child_arm", type=str, default="")
     args = ap.parse_args()
 
     if args.child_arm:
         k, seed = args.child_arm.split(":")
-        child(int(k), int(seed), args.epochs)
+        child(int(k), int(seed), args.epochs, args.model)
         return
 
-    os.makedirs(OUT_DIR, exist_ok=True)
+    out_dir = OUT_DIR if args.model == "KHGRec" else OUT_DIR + "_hd3"
+    csv_path = os.path.join(out_dir, "results.csv")
+    md_path = os.path.join(out_dir, "RESULTS.md")
+    os.makedirs(out_dir, exist_ok=True)
     rows: list[dict] = []
     for k in (int(x) for x in args.ks.split(",")):
         for seed in (int(s) for s in args.seeds.split(",")):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 f"--child_arm={k}:{seed}", f"--epochs={args.epochs}"],
+                 f"--child_arm={k}:{seed}", f"--epochs={args.epochs}",
+                 f"--model={args.model}"],
                 cwd=ROOT, capture_output=True, text=True, timeout=2400,
             )
             line = next((ln for ln in proc.stdout.splitlines()
@@ -114,7 +125,7 @@ def main() -> None:
 
     fields = ["k", "seed", "recall20", "ndcg20", "best_epoch",
               "epochs", "wall_s"]
-    with open(CSV_PATH, "w", newline="") as f:
+    with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
         w.writerows(rows)
@@ -124,7 +135,7 @@ def main() -> None:
     lines = [
         "# Cached-propagation (prop_cache_steps) converged-quality A/B",
         "",
-        "ML-1M-density KHGRec (1500x1000 deg-120 synthetic + KG), bf16 "
+        f"ML-1M-density {args.model} (1500x1000 deg-120 synthetic + KG), bf16 "
         f"compute, {args.epochs}-epoch budget, patience 15 — the "
         "int8_quality_ab protocol. K=0 is the reference-parity full-loss "
         "path; K>1 refreshes cached propagated tables every K-th step "
@@ -150,9 +161,9 @@ def main() -> None:
             f"{ws.mean():.0f} |"
         )
     lines += ["", f"Seeds: {args.seeds}. Raw rows: results.csv."]
-    with open(MD_PATH, "w") as f:
+    with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {MD_PATH}")
+    print(f"wrote {md_path}")
 
 
 if __name__ == "__main__":

@@ -140,3 +140,29 @@ def test_prop_cache_on_mesh_matches_single(kg_setup):
     m1 = t_single.evaluate()
     m2 = t_mesh.evaluate()
     assert abs(m1[20]["recall"] - m2[20]["recall"]) < 5e-3, (m1, m2)
+
+
+def test_hd3_cached_run_trains(kg_setup, tiny_dataset):
+    """Cached propagation on the HD family (dual-view diffusion + SSL):
+    trains, learns, and the off path carries no cache state."""
+    train, test = tiny_dataset
+    inter = build_interaction(train, test)
+    cf_dev = build_cf_device_data(inter, eval_user_multiple=64)
+    cfg = make_config(
+        "HGNN_HD3", batch_size=512, hyper_dim=32, item_ranking=(10, 20),
+        eval_user_batch=64, max_epoch=12, early_stopping_steps=20,
+        lrate=0.01, cl_rate=1e-5, temp=0.2, drop_rate=0.2, reg=0.1,
+        prop_cache_steps=4,
+    )
+    bundle = build_model(cfg, cf_dev)
+    result = Trainer(bundle).fit(quiet=True)
+    losses = [r.losses["train_loss"] for r in result.history]
+    assert np.isfinite(losses).all(), losses
+    assert result.best_metrics["recall"] > 0.12, result.best_metrics
+    # off path: no cache state
+    cfg0 = make_config(
+        "HGNN_HD3", batch_size=512, hyper_dim=32, item_ranking=(10,),
+        eval_user_batch=64, max_epoch=1, prop_cache_steps=0,
+    )
+    _, extras0 = build_model(cfg0, cf_dev).init(jax.random.PRNGKey(0))
+    assert extras0 == ()
