@@ -22,6 +22,8 @@ sys.path.insert(0, ROOT)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ks", type=str, default="0,8")
+    ap.add_argument("--model", type=str, default="KHGRec",
+                    choices=["KHGRec", "HGNN_HD3"])
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--users", type=int, default=6040)
     ap.add_argument("--items", type=int, default=3706)
@@ -50,21 +52,30 @@ def main() -> None:
         mean_degree=args.degree, seed=7, with_kg=True,
     )
     inter = build_interaction(train, test)
-    kg = build_knowledge(kg_df, inter)
     cf = build_cf_device_data(
-        inter, eval_user_multiple=512, needs=model_data_needs("KHGRec")
+        inter, eval_user_multiple=512, needs=model_data_needs(args.model)
     )
-    kgd = build_kg_device_data(kg)
-    print(f"data: {inter.n_cf_train} edges, {kg.n_kg_train} kg triples "
+    kgd = None
+    n_kg = 0
+    if args.model == "KHGRec":
+        kg = build_knowledge(kg_df, inter)
+        kgd = build_kg_device_data(kg)
+        n_kg = kg.n_kg_train
+    print(f"data: {inter.n_cf_train} edges, {n_kg} kg triples "
           f"({time.time()-t0:.1f}s)", flush=True)
 
+    model_kw = (
+        dict(batch_size_kg=8192, relation_dim=32, temp=1.0, cl_rate=0.01,
+             mode="full") if args.model == "KHGRec"
+        else dict(cl_rate=1e-5, temp=0.2, reg=0.1)
+    )
     for k in (int(x) for x in args.ks.split(",")):
         cfg = make_config(
-            "KHGRec", batch_size=2048, batch_size_kg=8192, hyper_dim=128,
-            relation_dim=32, item_ranking=(10, 20), eval_user_batch=512,
+            args.model, batch_size=2048, hyper_dim=128,
+            item_ranking=(10, 20), eval_user_batch=512,
             max_epoch=args.epochs + 1, early_stopping_steps=100,
-            lrate=0.001, temp=1.0, cl_rate=0.01, drop_rate=0.2,
-            mode="full", prop_cache_steps=k,
+            lrate=0.001, drop_rate=0.2,
+            prop_cache_steps=k, **model_kw,
         )
         trainer = Trainer(build_model(cfg, cf, kgd))
         print(f"K={k}: n_batches={trainer.n_batches} "
