@@ -5,17 +5,25 @@ per-batch attention refresh, two encoders, fused losses, Adam) on a
 LastFM-scale synthetic dataset (~1.9k users, ~18k items, ~93k
 interactions, ~250k KG triples) and reports steady-state training
 examples/sec, steady-state full-catalog eval latency, epochs/hour, and
-the roofline position (MFU + HBM utilisation) of the train step.
+the train step's roofline position. Secondary phases: ML-1M-DENSITY
+(the dedup-gather auto-selection regime), ML-1M-SHAPE (the full
+~1.6M-nnz graph — the real-scale tracked metric, plus the opt-in
+cached-propagation K=8 lever), and a profiler-traced epoch that yields
+the MEASURED roofline (per-op device durations + optimized-module
+bytes; utils/trace_analysis.py) beside the analytic one.
 
 The reference publishes no throughput numbers (BASELINE.md: "measure &
-report"), so `vs_baseline` is the ratio against an ESTIMATED reference
-point of 10k examples/sec — roughly what the reference's torch loop
-sustains on a single GPU for this model class (per-batch Python
-sampling + CPU sparse softmax round-trips bound it). The JSON line
-carries `baseline_estimated: true` to mark it.
+report"). `vs_baseline` is anchored to a MEASUREMENT when
+parity/baseline_throughput.json exists: the reference's own KHGRec
+epoch loop on the byte-identical bench dataset via the parity sandbox
+(CPU — the only hardware it runs on here; the JSON also carries the
+10k ex/s single-GPU ESTIMATE as `vs_gpu_estimate` for context).
+Without the file it falls back to the estimate with
+`baseline_estimated: true`.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Extra diagnostics go to stderr.
+Extra diagnostics go to stderr. Phases after the JSON line are
+non-fatal diagnostics.
 
 Flags:
   --epochs N      train N extra epochs and report the converged
