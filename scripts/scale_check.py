@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--prop_cache_steps", type=int, default=0,
+                    help="cached-propagation K for the KHGRec/HD "
+                         "families (0 = off; see core/config.py)")
     ap.add_argument("--with-kg", action="store_true")
     ap.add_argument("--mesh", type=str, default="",
                     help="'data,model' axis sizes, e.g. 1,8 — runs on a "
@@ -97,6 +100,7 @@ def main():
         args.model, batch_size=args.batch, hyper_dim=args.dim,
         item_ranking=(10, 20, 40), eval_user_batch=512,
         max_epoch=args.epochs, early_stopping_steps=args.epochs + 1,
+        prop_cache_steps=args.prop_cache_steps,
     )
     if shard_needs:
         from hypergraph_diffusion_for_recommendation_tpu.parallel import ShardedCOO
