@@ -81,12 +81,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "full-parameter calcRegLoss — norm-collapse seed "
                         "lottery at the pinned parity config)")
     p.add_argument("--prop_cache_steps", type=int, default=None,
-                   help="K>1 trains KHGRec-family models on cached "
+                   help="K>1 trains the KHGRec and HD families on cached "
                         "propagated tables refreshed by a true full-graph "
                         "step every K steps (straight-through gradients "
                         "between refreshes) — skips the full-graph spmm "
                         "chains on K-1 of K steps; 0/1 = off "
-                        "(reference-parity semantics). Quality A/B: "
+                        "(reference-parity semantics); models outside "
+                        "those families ignore the knob. Quality A/B: "
                         "results/prop_cache_ab/")
     # accepted for reference run-script compatibility (main.py:16,87-89):
     # gpu_id is meaningless on TPU; print cadences map to log verbosity

@@ -107,8 +107,10 @@ class Config:
     # values are exactly the cached propagation, gradients flow through
     # each row's own-embedding (residual/self) component, and the
     # full-graph spmm chains are skipped. Converged-quality A/B:
-    # results/prop_cache_ab/ (scripts/prop_cache_ab.py). KHGRec-family
-    # models only; 0/1 = off (reference-parity semantics).
+    # results/prop_cache_ab/ (scripts/prop_cache_ab.py). Supported by
+    # the KHGRec family (KHGRec/HGNN/HD2/HGNNAblation + variations) and
+    # the HD family (HD/HGNN_HD1-4/WaveletHD/LocalEncoder); other
+    # models ignore the knob. 0/1 = off (reference-parity semantics).
     prop_cache_steps: int = 0
     # SHT regularisation semantics: "batch" (product default — batch-row
     # squared L2 + hyperedge-table weight decay, the convention every
