@@ -66,3 +66,39 @@ def test_kg_family_bundles_build(tiny_kg_dataset):
             assert bundle.early_stop_patience_scale == 2
         else:
             assert bundle.early_stop_patience_scale == 1
+
+
+def test_prop_cache_flag_harmless_outside_supported_families(tiny_kg_dataset):
+    """--prop_cache_steps must be silently ignored by models outside the
+    KHGRec/HD families: every registered CF model still builds, inits,
+    and computes one batch loss with the knob set (a user sweeping the
+    flag across the zoo must not crash anything)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypergraph_diffusion_for_recommendation_tpu.core import make_config
+    from hypergraph_diffusion_for_recommendation_tpu.data import (
+        build_cf_device_data,
+        build_interaction,
+    )
+    from hypergraph_diffusion_for_recommendation_tpu.models import (
+        build_model,
+        model_data_needs,
+    )
+
+    train, test, _ = tiny_kg_dataset
+    inter = build_interaction(train, test)
+    for name in ("LightGCN", "MF", "SGL", "SHT", "HCCF", "DHCF", "SimGCL",
+                 "BUIR", "DirectAU"):
+        cf = build_cf_device_data(inter, needs=model_data_needs(name))
+        cfg = make_config(name, batch_size=128, hyper_dim=16,
+                          embedding_size=16, hyperedge_num=8, max_epoch=1,
+                          prop_cache_steps=4)
+        bundle = build_model(cfg, cf)
+        params, extras = bundle.init(jax.random.PRNGKey(0))
+        users = jnp.arange(16, dtype=jnp.int32) % cf.n_users
+        pos = jnp.arange(16, dtype=jnp.int32) % cf.n_items
+        neg = (jnp.arange(16, dtype=jnp.int32) + 5) % cf.n_items
+        loss, _ = bundle.batch_loss(params, extras, (users, pos, neg),
+                                    jax.random.PRNGKey(1))
+        assert bool(jnp.isfinite(loss)), (name, float(loss))
